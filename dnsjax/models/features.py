@@ -1,0 +1,90 @@
+"""2D feature matching: project sample points into reference views, gather
+encoder features, and fuse them with the merge MLP.
+
+Functional counterpart of the reference's ``feature_matching`` +
+``feature_searching`` (reference: utils/common.py:632-679). The reference
+bilinearly upsamples the half-resolution feature map to full resolution
+(align_corners=True) and then nearest-gathers at the rounded projected pixel;
+dnsjax instead bilinearly samples the half-res map directly at the
+equivalent coordinate — identical values, no HxWx64 materialization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from dnsjax.geometry.rays import project_points, world_to_camera
+from dnsjax.geometry.se3 import invert_se3
+from dnsjax.models.decoder import DecoderSpec, merge_apply
+
+
+def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of (H, W, C) at continuous pixel coords (x, y), clamped."""
+    H, W = img.shape[0], img.shape[1]
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def match_features(
+    params: Dict[str, Any],
+    pts_w: jnp.ndarray,
+    refer_w2c: jnp.ndarray,
+    feats_half: jnp.ndarray,
+    cam: Dict[str, Any],
+    bound: jnp.ndarray,
+    spec: DecoderSpec,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Project points into each reference view and fuse gathered features.
+
+    Args:
+      params: decoder params (uses ``merge``).
+      pts_w: (P, 3) world points.
+      refer_w2c: (R, 4, 4) world-to-camera of the reference views.
+      feats_half: (R, Hf, Wf, 64) encoder features at half resolution.
+      cam: dict with H, W, fx, fy, cx, cy (full-resolution intrinsics).
+      bound: (3, 2) scene bound.
+    Returns:
+      (P, hidden_dim) merged code. Out-of-frustum / behind-camera samples
+      contribute a zeroed pixel feature (but still a PE term) to the view
+      mean, matching the reference (common.py:665-677).
+    """
+    H, W = int(cam["H"]), int(cam["W"])
+    fx, fy, cx, cy = cam["fx"], cam["fy"], cam["cx"], cam["cy"]
+    Hf, Wf = feats_half.shape[1], feats_half.shape[2]
+
+    pts_cam = world_to_camera(pts_w, refer_w2c)  # (R, P, 3)
+    u, v, depth = project_points(pts_cam, fx, fy, cx, cy)
+    u = jnp.round(u)
+    v = jnp.round(v)
+    mask = (u > 0) & (u < W - 1) & (v > 0) & (v < H - 1) & (depth > 0)
+
+    # Full-res pixel -> half-res coordinate under align_corners=True upsampling.
+    gx = u * ((Wf - 1.0) / (W - 1.0))
+    gy = v * ((Hf - 1.0) / (H - 1.0))
+    code = jax.vmap(bilinear_sample)(feats_half, gx, gy)  # (R, P, 64)
+    code = code * mask[..., None]
+
+    refer_c2w = invert_se3(refer_w2c)
+    refer_o = refer_c2w[:, :3, 3]  # (R, 3)
+    rel = pts_w[None, :, :] - refer_o[:, None, :]  # (R, P, 3)
+    return merge_apply(params, rel, code, bound, spec, compute_dtype)

@@ -1,0 +1,121 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dnsjax.ops.hashgrid import (
+    HashGridSpec,
+    hash_encode,
+    hash_encode_ref,
+    init_hash_table,
+)
+from dnsjax.ops.oneblob import oneblob_encode
+from dnsjax.ops.mlp import (
+    init_mlp,
+    init_stacked_mlp,
+    mlp_apply,
+    mlp_apply_gathered,
+)
+
+
+SPEC = HashGridSpec(
+    n_levels=4, n_features=2, log2_hashmap_size=10,
+    base_resolution=4, desired_resolution=64,
+)
+
+
+def test_hashgrid_matches_numpy_oracle(rng):
+    key = jax.random.PRNGKey(0)
+    table = init_hash_table(key, SPEC)
+    pts = rng.uniform(size=(100, 3)).astype(np.float32)
+    got = np.asarray(hash_encode(table, jnp.asarray(pts), SPEC))
+    want = hash_encode_ref(np.asarray(table), pts, SPEC)
+    assert got.shape == (100, 8)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_hashgrid_interpolation_is_continuous(rng):
+    """Tiny input perturbations produce tiny output changes (trilerp)."""
+    table = init_hash_table(jax.random.PRNGKey(1), SPEC)
+    p = jnp.asarray(rng.uniform(0.1, 0.9, size=(50, 3)).astype(np.float32))
+    e = 1e-5
+    a = hash_encode(table, p, SPEC)
+    b = hash_encode(table, p + e, SPEC)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-3
+
+
+def test_hashgrid_vertex_exact(rng):
+    """At a grid vertex the encoding equals the stored feature (dense level)."""
+    spec = HashGridSpec(1, 2, 12, 4, 4)  # one dense 4-res level
+    table = init_hash_table(jax.random.PRNGKey(2), spec)
+    # vertex (1,2,3) of the 4-res grid -> dense idx = 1 + 5*(2 + 5*3)
+    p = jnp.asarray([[0.25, 0.5, 0.75]])
+    got = np.asarray(hash_encode(table, p, spec))[0]
+    np.testing.assert_allclose(got, np.asarray(table)[0, 1 + 5 * (2 + 5 * 3)], atol=1e-6)
+
+
+def test_hashgrid_gradients_flow():
+    table = init_hash_table(jax.random.PRNGKey(3), SPEC)
+    pts = jnp.asarray([[0.3, 0.4, 0.5], [0.7, 0.1, 0.9]])
+
+    def loss(t):
+        return jnp.sum(hash_encode(t, pts, SPEC) ** 2)
+
+    g = jax.grad(loss)(table)
+    assert float(jnp.sum(jnp.abs(g))) > 0
+    # gradient only touches the gathered corners: sparse
+    assert int(jnp.sum(jnp.any(g != 0, axis=-1))) <= 2 * 8 * SPEC.n_levels
+
+
+def test_oneblob_shape_and_mass():
+    # bin centers, not edges (0.5 sits exactly between bins 7 and 8)
+    pts = jnp.asarray([[0.53125, 0.28125, 0.90625]])
+    f = np.asarray(oneblob_encode(pts, 16))
+    assert f.shape == (1, 48)
+    # bins integrate to ~1 for interior points (Gaussian mass inside [0,1])
+    per_dim = f.reshape(3, 16)
+    assert per_dim.sum(-1).min() > 0.85
+    # peak bin is the one containing x
+    assert np.argmax(per_dim[0]) == 8
+    assert np.argmax(per_dim[1]) == 4
+    assert np.argmax(per_dim[2]) == 14
+
+
+def test_oneblob_continuity():
+    a = oneblob_encode(jnp.asarray([[0.5, 0.5, 0.5]]), 16)
+    b = oneblob_encode(jnp.asarray([[0.5001, 0.5, 0.5]]), 16)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-2
+
+
+def test_mlp_matches_numpy(rng):
+    params = init_mlp(jax.random.PRNGKey(0), 8, 16, 4)
+    x = rng.normal(size=(10, 8)).astype(np.float32)
+    got = np.asarray(mlp_apply(params, jnp.asarray(x), compute_dtype=jnp.float32))
+    w0, w1 = [np.asarray(w) for w in params["w"]]
+    b0, b1 = [np.asarray(b) for b in params["b"]]
+    want = np.maximum(x @ w0 + b0, 0) @ w1 + b1
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_stacked_mlp_gather_matches_per_class(rng):
+    C, N, S = 5, 12, 3
+    stacked = init_stacked_mlp(jax.random.PRNGKey(1), C, 8, 16, 4)
+    classes = jnp.asarray(rng.integers(0, C, size=N))
+    x = jnp.asarray(rng.normal(size=(N, S, 8)).astype(np.float32))
+    got = np.asarray(mlp_apply_gathered(stacked, classes, x, compute_dtype=jnp.float32))
+    for n in range(N):
+        c = int(classes[n])
+        per = {
+            "w": [w[c] for w in stacked["w"]],
+            "b": [b[c] for b in stacked["b"]],
+        }
+        want = np.asarray(mlp_apply(per, x[n], compute_dtype=jnp.float32))
+        np.testing.assert_allclose(got[n], want, atol=1e-4)
+
+
+def test_mlp_bf16_close_to_f32(rng):
+    params = init_mlp(jax.random.PRNGKey(2), 80, 32, 33)
+    x = jnp.asarray(rng.normal(size=(64, 80)).astype(np.float32))
+    f32 = mlp_apply(params, x, compute_dtype=jnp.float32)
+    bf16 = mlp_apply(params, x, compute_dtype=jnp.bfloat16)
+    rel = float(jnp.max(jnp.abs(f32 - bf16)) / (jnp.max(jnp.abs(f32)) + 1e-8))
+    assert rel < 0.05
