@@ -1,0 +1,517 @@
+"""SLAM orchestration: deterministic single-process tracker/mapper interleave.
+
+Counterpart of the reference ``DNS_SLAM`` (reference: slams/dns_slam.py),
+which spawns two torch.multiprocessing processes that sleep-poll shared
+tensors (dns_slam.py:54-67, 161-172; tracking.py:259-269;
+mapping.py:988-1004). Under the default ``sync_method: strict`` schedule the
+two processes are effectively lock-stepped (track ``optimize_every_n_frames``
+frames, then map once); dnsjax makes that schedule explicit: one host loop
+interleaves the jit-compiled ``track`` and ``map_step`` programs, which also
+makes the reference's benign races (tracker snapshots of a decoder mid-update)
+deterministic by construction.
+
+The reference's frozen-at-frame-1 tracking reference view (an operator-
+precedence bug at tracking.py:288) is fixed by default — the tracker's
+reference frame advances each keystep as intended; set
+``tpu.fix_refer_frame_bug: false`` for reference-faithful behavior.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dnsjax.data import get_dataset
+from dnsjax.geometry.se3 import tensor_from_camera, camera_from_tensor
+from dnsjax.losses import mse2psnr
+from dnsjax.models.decoder import DecoderSpec, init_decoder_params, decoder_param_count
+from dnsjax.models.encoder import init_encoder_params, encode_images
+from dnsjax.slam.keyframes import KeyframeStore
+from dnsjax.slam.mapper import (
+    MapConfig,
+    make_map_fn,
+    make_decoder_init_fn,
+    make_overlap_score_fn,
+)
+from dnsjax.slam.sampling import class_sorted_pixels
+from dnsjax.slam.tracker import TrackConfig, make_track_fn, pose_init_const_velocity
+
+
+def load_bound(cfg: Dict[str, Any]) -> np.ndarray:
+    """Scene bound, scaled and enlarged so each extent divides
+    ``bound_divisible`` (reference: dns_slam.py:100-107)."""
+    scale = float(cfg.get("scale", 1))
+    bound = np.asarray(cfg["back_end"]["bound"], np.float64) * scale
+    dv = float(cfg.get("bound_divisible", 0.32))
+    bound[:, 1] = (
+        np.floor((bound[:, 1] - bound[:, 0]) / dv).astype(np.int64) + 1
+    ) * dv + bound[:, 0]
+    return bound.astype(np.float32)
+
+
+class DNSSLAM:
+    """Build datasets, model, tracker/mapper programs; run the SLAM loop."""
+
+    def __init__(self, cfg: Dict[str, Any], output_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.verbose = bool(cfg.get("verbose", True))
+        self.out_dir = output_dir or cfg.get("out_dir", "output")
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.scene = cfg.get("scene", "scene")
+
+        scale = float(cfg.get("scale", 1))
+        input_folder = cfg.get("input_folder") or os.path.join(
+            cfg.get("dataset_dir", ""), cfg.get("scene", "")
+        )
+        self.dataset = get_dataset(cfg, input_folder, scale)
+        self.n_img = len(self.dataset)
+        self.n_class = self.dataset.n_class
+
+        self.bound = load_bound(cfg)
+        self.bound_j = jnp.asarray(self.bound)
+        self.spec = DecoderSpec.from_config(cfg, self.bound, self.n_class)
+
+        tpu_cfg = cfg.get("tpu", {})
+        self.compute_dtype = (
+            jnp.bfloat16
+            if tpu_cfg.get("compute_dtype", "bfloat16") == "bfloat16"
+            else jnp.float32
+        )
+        self.fix_refer_bug = bool(tpu_cfg.get("fix_refer_frame_bug", True))
+
+        seed = int(cfg.get("seed", 0))
+        self.key = jax.random.PRNGKey(seed)
+        self.params = init_decoder_params(self._next_key(), self.spec)
+        self.enc_params = init_encoder_params(seed)
+
+        ds = self.dataset
+        tr, mp, trn = cfg["tracking"], cfg["mapping"], cfg["training"]
+        self.track_cfg = TrackConfig(
+            H=ds.H, W=ds.W, fx=ds.fx, fy=ds.fy, cx=ds.cx, cy=ds.cy,
+            n_iters=int(tr["n_iters"]), n_pixels=int(tr["n_pixels"]),
+            n_samples=int(trn["n_samples_ray"]), n_surface=int(trn["n_surface_ray"]),
+            ignore_edge=int(tr.get("ignore_edge", 20)),
+            cam_lr=float(tr["cam_lr"]),
+            separate_lr=bool(cfg.get("seperate_LR", False)),
+            lambda_p=float(trn["lambda_color"]), lambda_d=float(trn["lambda_depth"]),
+            lambda_l=float(trn["lambda_label"]),
+        )
+        self.map_cfg = MapConfig(
+            H=ds.H, W=ds.W, fx=ds.fx, fy=ds.fy, cx=ds.cx, cy=ds.cy,
+            n_pixels=int(mp["n_pixels"]),
+            n_samples=int(trn["n_samples_ray"]), n_surface=int(trn["n_surface_ray"]),
+            lr=float(trn["lr"]), ba_cam_lr=float(mp["BA_cam_lr"]),
+            lambda_p=float(trn["lambda_color"]), lambda_d=float(trn["lambda_depth"]),
+            lambda_l=float(trn["lambda_label"]), lambda_sm=float(trn["lambda_smooth"]),
+            lambda_fs=float(trn["lambda_fs"]), lambda_op=float(trn["lambda_opacity"]),
+            smooth_pts=int(trn["smooth_pts"]),
+            opacity_sigma=float(trn["opacity_sigma"]),
+        )
+
+        self.n_joint = int(mp["n_joint_optimize_frames"])
+        self.n_refer = int(mp["n_refer_frames"])
+        self.optimize_every = int(mp["optimize_every_n_frames"])
+        self.keyframe_every = int(mp["choose_keyframe_every"])
+        self.start_optimize_idx = int(mp["start_optimize_idx"])
+        self.n_iters = int(mp["n_iters"])
+        self.n_iters_first = int(mp["n_iters_first"])
+        self.vis_every = int(mp.get("vis_every", 0))
+        self.mesh_every = int(mp.get("mesh_every", 0))
+        self.checkpoint_every = int(mp.get("checkpoint_every", 0))
+        self.use_gt_camera = bool(cfg.get("use_gt_camera", False))
+        self.const_speed = bool(cfg.get("const_speed_assumption", True))
+
+        cap = int(mp.get("max_keyframes", 96))
+        self.keyframes = KeyframeStore(cap, ds.H, ds.W, self.n_class)
+
+        self.estimate_c2w = np.tile(np.eye(4, dtype=np.float32), (self.n_img, 1, 1))
+        self.gt_c2w = np.tile(np.eye(4, dtype=np.float32), (self.n_img, 1, 1))
+
+        # compiled programs (map fns cached per window size)
+        self.track_fn = make_track_fn(self.spec, self.track_cfg, self.compute_dtype)
+        self._map_fns: Dict[Any, Any] = {}
+        self.decoder_init_fn = make_decoder_init_fn(
+            self.spec, self.map_cfg, compute_dtype=self.compute_dtype
+        )
+        self.overlap_fn = make_overlap_score_fn(self.map_cfg)
+        self._encode = jax.jit(
+            lambda p, imgs: encode_images(p, imgs, self.compute_dtype)
+        )
+
+        # mapper host state
+        self.exist_decoders: Dict[int, int] = {}
+        self.first_frame_optimized = False
+        self.rng = np.random.default_rng(seed)
+
+        # tracker reference view state
+        self._refer_color: Optional[jnp.ndarray] = None
+        self._refer_w2c: Optional[jnp.ndarray] = None
+        self._pre_color: Optional[jnp.ndarray] = None
+
+        self.track_times: List[float] = []
+        self.map_times: List[float] = []
+        self.mesher = None  # attached lazily by run() when meshing is on
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _map_fn(self, n_target: int, n_iters: int):
+        k = (n_target, n_iters)
+        if k not in self._map_fns:
+            self._map_fns[k] = make_map_fn(
+                self.spec, self.map_cfg, n_target, n_iters, self.compute_dtype
+            )
+        return self._map_fns[k]
+
+    def _frame_to_device(self, frame: Dict[str, np.ndarray]):
+        return {
+            "index": frame["index"],
+            "color": jnp.asarray(frame["color"]),
+            "depth": jnp.asarray(frame["depth"]),
+            "label": jnp.asarray(frame["label"]),
+            "c2w": jnp.asarray(frame["c2w"]),
+        }
+
+    # ------------------------------------------------------------------
+    # window selection (host logic; reference: mapping.py:329-436)
+    def _select_targets(self, mode: str, cur, cur_c2w) -> List[int]:
+        K = self.keyframes.count
+        num = min(self.n_joint - 2, K)
+        if K < 2:
+            picked: List[int] = []
+        elif mode == "global":
+            picked = list(self.rng.choice(K - 1, size=num, replace=True))
+        else:  # overlap
+            scores = np.asarray(
+                self.overlap_fn(
+                    cur["depth"],
+                    jnp.asarray(cur_c2w),
+                    self.keyframes.est_c2w,
+                    jnp.arange(self.keyframes.capacity) < max(K - 1, 0),
+                    self._next_key(),
+                )
+            )[: max(K - 1, 0)]
+            order = np.argsort(-scores)
+            cand = [int(i) for i in order if scores[i] > 0.05]
+            picked = list(self.rng.permutation(cand)[:num])
+        if K > 1:
+            picked = sorted({int(x) for x in picked + [K - 1]} - {0})
+        return picked  # current frame appended by caller as -1
+
+    def _refer_slots(self, target_id: int, K: int) -> List[int]:
+        """Two keyframe reference views per target (reference:
+        mapping.py:400-411); the target itself is the third."""
+        if target_id == -1:
+            first, second = max(K - 2, 0), max(K - 1, 0)
+        elif target_id == K - 1:
+            first, second = max(K - 3, 0), max(K - 2, 0)
+        else:
+            first, second = max(target_id - 1, 0), target_id + 1
+        return [first, second]
+
+    def _build_window(self, targets: List[int], cur, cur_c2w):
+        """Gather device tensors for one mapping window."""
+        kf = self.keyframes
+        K = kf.count
+        slots = targets + [-1]
+        T = len(slots)
+
+        def gather(arr, cur_val):
+            kf_part = [arr[s] for s in targets]
+            return jnp.stack(kf_part + [cur_val], 0) if kf_part else cur_val[None]
+
+        colors = gather(kf.colors, cur["color"])
+        depths = gather(kf.depths, cur["depth"])
+        labels = gather(kf.labels, cur["label"])
+
+        cur_sorted, cur_off = class_sorted_pixels(
+            np.asarray(cur["label"]), self.n_class
+        )
+        sorted_idx = gather(kf.sorted_idx, jnp.asarray(cur_sorted))
+        offsets = gather(kf.class_offsets, jnp.asarray(cur_off))
+
+        est = gather(kf.est_c2w, jnp.asarray(cur_c2w))
+        gt = gather(kf.gt_c2w, jnp.asarray(cur["c2w"]))
+
+        # reference views per target: 2 keyframes + self
+        refer_src = np.full((T, 3), -1, np.int32)
+        refer_slots = np.zeros((T, 3), np.int32)
+        for i, tid in enumerate(slots):
+            r = self._refer_slots(tid, K)
+            for s, rid in enumerate(r):
+                refer_slots[i, s] = rid
+                if rid in targets:
+                    refer_src[i, s] = targets.index(rid)
+            refer_slots[i, 2] = 0  # unused when src >= 0
+            refer_src[i, 2] = i  # self
+        refer_fixed_c2w = kf.est_c2w[jnp.asarray(refer_slots.reshape(-1))].reshape(
+            T, 3, 4, 4
+        )
+        refer_colors = jnp.concatenate(
+            [
+                kf.colors[jnp.asarray(refer_slots[:, :2].reshape(-1))].reshape(
+                    T, 2, kf.H, kf.W, 3
+                ),
+                colors[:, None],
+            ],
+            axis=1,
+        )
+        refer_feats = self._encode(self.enc_params, refer_colors)
+
+        pose_train = np.ones(T, np.float32)
+        pose_train[0] = 0.0 if T > 1 else 1.0  # oldest frame frozen
+        if not self.is_ba:
+            pose_train[:] = 0.0
+
+        window = {
+            "colors": colors,
+            "depths": depths,
+            "labels": labels,
+            "sorted_idx": sorted_idx,
+            "offsets": offsets,
+            "refer_feats": refer_feats,
+            "refer_fixed_c2w": refer_fixed_c2w,
+            "refer_src": jnp.asarray(refer_src),
+            "pose_train": jnp.asarray(pose_train),
+            "bound": self.bound_j,
+            "lt_gate_iter": jnp.asarray(-1, jnp.int32),
+        }
+        tensors = tensor_from_camera(est)  # (T,7)
+        return window, tensors[:, :4], tensors[:, 4:], est, gt, slots
+
+    # ------------------------------------------------------------------
+    def _set_decoder_counts(self, label_dict: List[int], cur_idx: int) -> List[int]:
+        """Track per-class decoder usage; returns the 'new decoder' list that
+        gates the lambda_lt schedule and warm-up (reference: mapping.py:727-761)."""
+        new_list = []
+        for c in label_dict:
+            self.exist_decoders[c] = self.exist_decoders.get(c, 0) + 1
+            if self.exist_decoders[c] <= 4:
+                new_list.append(c)
+        if self.exist_decoders:
+            min_c = min(self.exist_decoders, key=self.exist_decoders.get)
+            if min_c not in new_list and self.exist_decoders[min_c] < 10:
+                self.exist_decoders[min_c] += 1
+                new_list.append(min_c)
+        return new_list
+
+    def map_once(self, idx: int, cur, n_iters: int, mode: str, is_first: bool):
+        cur_c2w = self.estimate_c2w[idx]
+        self.is_ba = idx >= self.start_optimize_idx
+        targets = [] if is_first else self._select_targets(mode, cur, cur_c2w)
+        window, quads0, Ts0, est, gt, slots = self._build_window(
+            targets, cur, cur_c2w
+        )
+
+        # per-window class bookkeeping + new-decoder schedule
+        offs = np.asarray(window["offsets"])
+        present = np.nonzero((offs[:, 1:] - offs[:, :-1]).sum(0) > 0)[0].tolist()
+        new_decoders = self._set_decoder_counts(present, idx)
+
+        if self.first_frame_optimized and new_decoders and idx > 50:
+            cur_classes = set(np.unique(np.asarray(cur["label"])).tolist())
+            warm = [c for c in new_decoders if c in cur_classes]
+            if warm:
+                mask = np.zeros(self.n_class, bool)
+                mask[warm] = True
+                frame = {
+                    "color": cur["color"],
+                    "depth": cur["depth"],
+                    "label": cur["label"],
+                    "c2w": jnp.asarray(cur_c2w),
+                    "bound": self.bound_j,
+                    "sorted_idx": window["sorted_idx"][-1],
+                    "offsets": window["offsets"][-1],
+                    "feats": self._encode(
+                        self.enc_params, cur["color"][None]
+                    ),
+                }
+                self.params, _ = self.decoder_init_fn(
+                    self.params, frame, jnp.asarray(mask), self._next_key()
+                )
+
+        if new_decoders:
+            window["lt_gate_iter"] = jnp.asarray(n_iters // 2, jnp.int32)
+
+        map_fn = self._map_fn(len(slots), n_iters)
+        self.params, quads, Ts, aux = map_fn(
+            self.params, quads0, Ts0, window, self._next_key()
+        )
+
+        # BA write-back (reference: mapping.py:916-940)
+        c2w_new = np.asarray(
+            camera_from_tensor(jnp.concatenate([quads, Ts], -1))
+        )
+        if self.is_ba:
+            for i, tid in enumerate(slots[:-1]):
+                if i == 0 and len(slots) > 1:
+                    continue  # frozen
+                self.keyframes.update_pose(targets[i], c2w_new[i])
+            self.estimate_c2w[idx] = c2w_new[-1]
+        return aux, c2w_new[-1]
+
+    # ------------------------------------------------------------------
+    def track_frame(self, idx: int, cur) -> np.ndarray:
+        t0 = time.perf_counter()
+        if self._refer_color is None or (
+            self.fix_refer_bug
+            and (idx - 1) % self.optimize_every == 0
+        ):
+            self._refer_color = self._pre_color
+            self._refer_w2c = jnp.asarray(
+                np.linalg.inv(self.estimate_c2w[idx - 1]).astype(np.float32)
+            )
+
+        feats = self._encode(
+            self.enc_params, jnp.stack([self._refer_color, cur["color"]], 0)
+        )
+        est0 = pose_init_const_velocity(self.estimate_c2w, idx, self.const_speed)
+        t7 = np.asarray(tensor_from_camera(jnp.asarray(est0)))
+        quad, T, metrics = self.track_fn(
+            self.params, feats, self._refer_w2c,
+            cur["color"], cur["depth"], cur["label"],
+            jnp.asarray(t7[:4]), jnp.asarray(t7[4:]),
+            self.bound_j, self._next_key(),
+        )
+        c2w = np.asarray(camera_from_tensor(jnp.concatenate([quad, T], 0)))
+        self.estimate_c2w[idx] = c2w
+        dt = time.perf_counter() - t0
+        self.track_times.append(dt)
+        if self.verbose:
+            p = float(metrics["p_loss"])
+            gt7 = np.asarray(tensor_from_camera(jnp.asarray(cur["c2w"])))
+            err = float(np.abs(gt7 - np.concatenate([np.asarray(quad), np.asarray(T)])).mean())
+            line = (
+                f"Frame {idx} FRONT: rgb {p:.4f} psnr "
+                f"{float(mse2psnr(jnp.asarray(p))):.2f} "
+                f"d {float(metrics['d_loss']):.4f} ATE~{err:.6f} {dt:.2f}s"
+            )
+            print(line)
+            with open(os.path.join(self.out_dir, "output_front.txt"), "a") as f:
+                f.write(line + "\n")
+        return c2w
+
+    # ------------------------------------------------------------------
+    def run(self, end_frame: Optional[int] = None):
+        """The strict-sync schedule (reference behaviors at tracking.py:259-269
+        + mapping.py:988-1016): frames 0-1 use GT poses; mapping runs on
+        frame 0 (bootstrap) and every optimize_every-th frame + the last."""
+        n = self.n_img if end_frame is None else min(end_frame, self.n_img)
+
+        f0 = self._frame_to_device(self.dataset[0])
+        self.gt_c2w[0] = np.asarray(f0["c2w"])
+        self.estimate_c2w[0] = self.gt_c2w[0]
+        self.keyframes.add(
+            {k: np.asarray(v) for k, v in f0.items() if k != "index"}
+            | {"index": 0},
+            self.gt_c2w[0],
+        )
+        if n > 1:
+            f1 = self.dataset[1]
+            self.gt_c2w[1] = f1["c2w"]
+            self.estimate_c2w[1] = f1["c2w"]
+
+        # bootstrap mapping on frame 0
+        t0 = time.perf_counter()
+        self.map_once(0, f0, self.n_iters_first, "overlap", is_first=True)
+        self.map_times.append(time.perf_counter() - t0)
+        self.first_frame_optimized = True
+        self._pre_color = f0["color"]
+        if self.verbose:
+            print(f"BACK: init mapping done in {self.map_times[-1]:.1f}s")
+
+        last_mapped = 0
+        for idx in range(1, n):
+            cur = self._frame_to_device(self.dataset[idx])
+            self.gt_c2w[idx] = np.asarray(cur["c2w"])
+
+            if idx <= 1 or self.use_gt_camera:
+                self.estimate_c2w[idx] = np.asarray(cur["c2w"])
+                if self._refer_color is None:
+                    self._refer_w2c = jnp.asarray(
+                        np.linalg.inv(self.estimate_c2w[idx]).astype(np.float32)
+                    )
+                    self._refer_color = cur["color"]
+            else:
+                self.track_frame(idx, cur)
+
+            # mapping keystep
+            if (idx % self.optimize_every == 0 and idx > last_mapped) or idx == n - 1:
+                t0 = time.perf_counter()
+                outer = 2
+                iters = self.n_iters // outer
+                for o in range(outer):
+                    mode = "overlap" if o % 2 == 0 else "global"
+                    aux, cur_c2w = self.map_once(idx, cur, iters, mode, False)
+                self.map_times.append(time.perf_counter() - t0)
+                last_mapped = idx
+                if self.verbose:
+                    line = (
+                        f"Frame {idx} BACK: rgb {float(aux['p_loss']):.4f} "
+                        f"psnr {float(mse2psnr(aux['p_loss'])):.2f} "
+                        f"d {float(aux['d_loss']):.4f} l {float(aux['l_loss']):.4f} "
+                        f"lt {float(aux['lt_loss']):.4f} {self.map_times[-1]:.1f}s"
+                    )
+                    print(line)
+                    with open(
+                        os.path.join(self.out_dir, "output_back_fine.txt"), "a"
+                    ) as f:
+                        f.write(line + "\n")
+
+                # keyframe insertion (reference: mapping.py:1082-1089)
+                if (
+                    idx % self.keyframe_every == 0 or idx == n - 2
+                ) and idx not in self.keyframes.frame_ids:
+                    self.keyframes.add(
+                        {k: np.asarray(v) for k, v in cur.items() if k != "index"}
+                        | {"index": idx},
+                        self.estimate_c2w[idx],
+                    )
+
+                if (
+                    self.mesh_every > 0
+                    and idx % self.mesh_every == 0
+                    and self.mesher is not None
+                ):
+                    self.mesher.save_mesh(self, idx)
+
+                if (
+                    self.checkpoint_every > 0
+                    and idx % self.checkpoint_every == 0
+                    and idx > 1
+                ):
+                    self.save_checkpoint(f"model_{idx}.npz", idx)
+
+            self._pre_color = cur["color"]
+
+        self.save_checkpoint("model.npz", n - 1)
+        if self.verbose:
+            print(f"Decoder params: {decoder_param_count(self.params)}")
+            print(
+                f"track avg {np.mean(self.track_times) if self.track_times else 0:.3f}s "
+                f"map avg {np.mean(self.map_times):.2f}s"
+            )
+        return self.estimate_c2w[:n], self.gt_c2w[:n]
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, name: str, idx: int):
+        from dnsjax.models.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(self.out_dir, name),
+            params=self.params,
+            enc_params=self.enc_params,
+            estimate_c2w=self.estimate_c2w,
+            gt_c2w=self.gt_c2w,
+            keyframes=self.keyframes,
+            idx=idx,
+            scene=self.scene,
+            exist_decoders=self.exist_decoders,
+        )

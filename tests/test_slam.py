@@ -1,0 +1,172 @@
+"""Integration tests: mapping convergence, tracking convergence, full driver."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dnsjax.data.synthetic import SyntheticDataset, synthetic_slam_config
+from dnsjax.geometry.se3 import tensor_from_camera, camera_from_tensor
+from dnsjax.slam.driver import DNSSLAM, load_bound
+from dnsjax.slam.sampling import (
+    class_sorted_pixels,
+    sample_class_balanced_pixels,
+    sample_uniform_pixels,
+)
+
+
+def test_load_bound_divisible():
+    cfg = {
+        "scale": 1,
+        "bound_divisible": 0.32,
+        "back_end": {"bound": [[-2.9, 8.9], [-3.2, 5.5], [-3.5, 3.3]]},
+    }
+    b = load_bound(cfg)
+    ext = b[:, 1] - b[:, 0]
+    np.testing.assert_allclose(ext / 0.32, np.round(ext / 0.32), atol=1e-4)
+    assert np.all(b[:, 1] >= np.array([8.9, 5.5, 3.3]))
+
+
+def test_class_sorted_pixels():
+    label = np.array([[0, 2], [2, 1]], np.int32)
+    sidx, off = class_sorted_pixels(label, 4)
+    assert list(off) == [0, 1, 2, 4, 4]
+    assert sidx[0] == 0  # class 0 at flat 0
+    assert sidx[1] == 3  # class 1 at flat 3
+    assert set(sidx[2:4].tolist()) == {1, 2}
+
+
+def test_balanced_sampling_hits_all_classes():
+    label = np.zeros((20, 20), np.int32)
+    label[:2, :2] = 1  # rare class
+    label[5:6, 5:9] = 3
+    sidx, off = class_sorted_pixels(label, 5)
+    pix = np.asarray(
+        sample_class_balanced_pixels(
+            jax.random.PRNGKey(0), 90, jnp.asarray(sidx), jnp.asarray(off)
+        )
+    )
+    got = label.reshape(-1)[pix]
+    counts = np.bincount(got, minlength=5)
+    # 3 present classes, 90 draws -> 30 each
+    assert counts[0] == 30 and counts[1] == 30 and counts[3] == 30
+    assert counts[2] == 0 and counts[4] == 0
+
+
+def test_uniform_sampling_respects_crop():
+    pix = np.asarray(
+        sample_uniform_pixels(jax.random.PRNGKey(1), 500, 40, 60, 5, 7)
+    )
+    j, i = pix // 60, pix % 60
+    assert j.min() >= 5 and j.max() < 35
+    assert i.min() >= 7 and i.max() < 53
+
+
+@pytest.fixture(scope="module")
+def slam_gt_camera():
+    """Driver run with GT poses (mapping-only): BASELINE config-1 analogue."""
+    cfg = synthetic_slam_config(n_frames=8, n_iters_map=30)
+    cfg["use_gt_camera"] = True
+    slam = DNSSLAM(cfg, output_dir="/tmp/dnsjax_test_gt")
+    slam.run()
+    return slam
+
+
+def test_mapping_converges(slam_gt_camera):
+    slam = slam_gt_camera
+    # mapping loss from the bootstrap first iteration vs last keystep
+    assert slam.keyframes.count >= 2
+    # render quality: the driver logged p_loss at final keystep; re-derive by
+    # rendering a frame through the learned map
+    from dnsjax.render.pipeline import render_fine
+    from dnsjax.render.sampling import sample_along_rays
+    from dnsjax.geometry import all_rays, ray_box_far
+
+    ds = slam.dataset
+    f = ds[4]
+    H, W = ds.H, ds.W
+    o, d = all_rays(H, W, jnp.asarray(f["c2w"]), ds.fx, ds.fy, ds.cx, ds.cy)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    gd = jnp.asarray(f["depth"]).reshape(-1)
+    far = ray_box_far(o, d, slam.bound_j) + 0.01
+    z = sample_along_rays(jax.random.PRNGKey(0), gd, 24, 8, far)
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]
+    lbl = jnp.asarray(f["label"]).reshape(-1)
+    code = jnp.zeros((o.shape[0], 32, 32))
+    out = render_fine(
+        slam.params, slam.spec, pts, z, d, lbl, code, slam.bound_j
+    )
+    d_err = float(jnp.mean(jnp.abs(out.depth - gd)))
+    rgb_mse = float(jnp.mean((out.color - jnp.asarray(f["color"]).reshape(-1, 3)) ** 2))
+    assert d_err < 0.15, f"depth err {d_err}"
+    assert rgb_mse < 0.02, f"rgb mse {rgb_mse}"
+
+
+def test_checkpoint_roundtrip(slam_gt_camera, tmp_path):
+    from dnsjax.models.checkpoint import load_checkpoint, restore_params
+
+    slam = slam_gt_camera
+    # save_checkpoint takes a name relative to out_dir
+    slam.save_checkpoint("ck.npz", 7)
+    import os
+
+    ckpt = load_checkpoint(os.path.join(slam.out_dir, "ck.npz"))
+    params2 = restore_params(slam.params, ckpt)
+    a = jax.tree_util.tree_leaves(slam.params)
+    b = jax.tree_util.tree_leaves(params2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert ckpt["meta"]["idx"] == 7
+    assert ckpt["estimate_c2w"].shape == slam.estimate_c2w.shape
+
+
+def test_tracking_recovers_perturbed_pose(slam_gt_camera):
+    """With a trained map, tracking from a perturbed init must reduce pose
+    error substantially."""
+    slam = slam_gt_camera
+    ds = slam.dataset
+    f = slam._frame_to_device(ds[4])
+    gt = np.asarray(f["c2w"])
+
+    # perturb: ~7cm translation + ~3deg rotation (well above the pose-bias
+    # floor of the lightly-trained test map, ~1.3cm)
+    t7 = np.asarray(tensor_from_camera(jnp.asarray(gt)))
+    pert = t7.copy()
+    pert[4:] += np.array([0.05, -0.04, 0.03], np.float32)
+    pert[1:4] += np.array([0.02, -0.015, 0.01], np.float32)
+
+    from dnsjax.slam.tracker import TrackConfig, make_track_fn
+
+    tcfg = slam.track_cfg.__class__(
+        **{**slam.track_cfg.__dict__, "n_iters": 60, "cam_lr": 0.002}
+    )
+    track = make_track_fn(slam.spec, tcfg, slam.compute_dtype)
+    feats = slam._encode(
+        slam.enc_params, jnp.stack([jnp.asarray(ds[3]["color"]), f["color"]], 0)
+    )
+    refer_w2c = jnp.asarray(np.linalg.inv(ds[3]["c2w"]).astype(np.float32))
+    quad, T, metrics = track(
+        slam.params, feats, refer_w2c, f["color"], f["depth"], f["label"],
+        jnp.asarray(pert[:4]), jnp.asarray(pert[4:]),
+        slam.bound_j, jax.random.PRNGKey(5),
+    )
+    got = np.concatenate([np.asarray(quad), np.asarray(T)])
+    err_before = np.abs(t7 - pert).mean()
+    err_after = np.abs(t7 - got).mean()
+    # the map is trained only lightly here, so its pose-bias floor (~1.3cm)
+    # bounds achievable recovery; require clear improvement, not perfection
+    assert err_after < err_before * 0.85, (err_before, err_after)
+
+
+def test_driver_full_tracking_small():
+    """Full tracking+mapping run; poses must stay close to GT."""
+    cfg = synthetic_slam_config(n_frames=8, n_iters_track=20, n_iters_map=30)
+    slam = DNSSLAM(cfg, output_dir="/tmp/dnsjax_test_track")
+    est, gt = slam.run()
+    terr = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=-1)
+    # per-frame motion is ~1.3cm; with this deliberately tiny config (weak
+    # map, random-init encoder, low-texture synthetic walls) tracking carries
+    # a few-cm bias — require bounded drift, not metric accuracy (full-quality
+    # parity is measured on Replica via eval_ate)
+    assert terr.max() < 0.30, terr
+    assert np.all(np.isfinite(est))
