@@ -1,0 +1,300 @@
+"""Mesh extraction: sharded field query + marching tetrahedra + cleanup.
+
+Counterpart of the reference ``Mesher`` (reference: slams/meshing.py). A
+uniform grid over the marching-cubes bound (+0.05 pad, meshing.py:535-559) is
+evaluated in large fused device chunks; per-point 2D features/labels are
+aggregated by scanning over ALL keyframes on device (project -> bilinear
+feature gather -> per-view merge -> mean over observing views, last-seen
+label — meshing.py:294-377). Out-of-bound points get occupancy -100 and
+label -1 (meshing.py:461-532). The isosurface is extracted with marching
+tetrahedra, optionally cleaned by visibility (drop faces with never-seen
+vertices) and small-component removal, then vertices are re-queried for
+color/label and exported as PLY (mesh_{idx}.ply / _semantic.ply / parts).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dnsjax.geometry.rays import project_points, world_to_camera
+from dnsjax.geometry.se3 import invert_se3
+from dnsjax.mesh.export import write_ply
+from dnsjax.mesh.marching import marching_tetrahedra
+from dnsjax.models.decoder import (
+    DecoderSpec,
+    merge_apply,
+    out_apply,
+    pos_encode,
+    fine_apply,
+)
+from dnsjax.models.features import bilinear_sample
+
+
+class Mesher:
+    def __init__(
+        self,
+        cfg: Dict[str, Any],
+        cam: Dict[str, Any],
+        bound: np.ndarray,
+        spec: DecoderSpec,
+        compute_dtype=jnp.bfloat16,
+    ):
+        m = cfg["meshing"]
+        self.resolution = int(m.get("resolution", 256))
+        self.points_batch = int(m.get("points_batch_size", 262144))
+        self.level_set = float(m.get("level_set", 0.0))
+        self.clean_mesh = bool(m.get("clean_mesh", True))
+        self.get_largest = bool(m.get("get_largest_components", False))
+        self.small_thresh = float(m.get("remove_small_geometry_threshold", 0.2))
+        self.color = bool(m.get("color", True))
+        self.label = bool(m.get("label", True))
+        self.element = bool(m.get("element", False))
+        scale = float(cfg.get("scale", 1))
+        self.mc_bound = (
+            np.asarray(
+                cfg["back_end"].get("marching_cubes_bound", cfg["back_end"]["bound"]),
+                np.float64,
+            )
+            * scale
+        )
+        self.bound = np.asarray(bound, np.float64)
+        self.cam = cam
+        self.spec = spec
+        self.compute_dtype = compute_dtype
+        self._query = self._build_query()
+
+    # ------------------------------------------------------------------
+    def _build_query(self):
+        spec = self.spec
+        cam = self.cam
+        cdt = self.compute_dtype
+
+        def query_chunk(params, pts, kf_c2w, kf_valid, kf_feats, kf_labels,
+                        kf_depths, bound):
+            """pts (B,3) -> occ (B,), label (B,), color (B,3), seen (B,)."""
+            B = pts.shape[0]
+            h = spec.hidden_dim
+
+            def kf_step(carry, inputs):
+                code_sum, count, label, label_seen = carry
+                c2w, valid, feats, labels_img, depth_img = inputs
+                w2c = invert_se3(c2w)
+                pc = world_to_camera(pts, w2c[None])[0]  # (B,3)
+                u, v, d = project_points(
+                    pc, cam["fx"], cam["fy"], cam["cx"], cam["cy"]
+                )
+                u = jnp.round(u)
+                v = jnp.round(v)
+                seen = (
+                    (u > 0) & (u < cam["W"] - 1) & (v > 0) & (v < cam["H"] - 1)
+                    & (d > 0) & valid
+                )
+                Hf, Wf = feats.shape[0], feats.shape[1]
+                gx = u * ((Wf - 1.0) / (cam["W"] - 1.0))
+                gy = v * ((Hf - 1.0) / (cam["H"] - 1.0))
+                code = bilinear_sample(feats, gx, gy)  # (B,64)
+                # depth-truncation mask vs the keyframe's sensor depth
+                ui = jnp.clip(u, 0, cam["W"] - 1).astype(jnp.int32)
+                vi = jnp.clip(v, 0, cam["H"] - 1).astype(jnp.int32)
+                kf_d = depth_img[vi, ui]
+                trunc = (d > kf_d * 0.95) & (d < kf_d * 1.05) & (kf_d > 0)
+                use = seen & trunc
+                code = code * use[:, None]
+                rel = pts - c2w[:3, 3]
+                merged = merge_apply(
+                    params, rel[None], code[None], bound, spec, cdt
+                )  # (B,h)
+                code_sum = code_sum + merged * seen[:, None]
+                count = count + seen.astype(jnp.float32)
+                lab = labels_img.reshape(-1)[vi * 0 + (vi * cam["W"] + ui)]
+                label = jnp.where(seen, lab, label)
+                label_seen = label_seen | seen
+                return (code_sum, count, label, label_seen), None
+
+            init = (
+                jnp.zeros((B, h)),
+                jnp.zeros((B,)),
+                jnp.zeros((B,), jnp.int32),
+                jnp.zeros((B,), bool),
+            )
+            (code_sum, count, label, label_seen), _ = jax.lax.scan(
+                kf_step, init,
+                (kf_c2w, kf_valid, kf_feats, kf_labels, kf_depths),
+            )
+            code = code_sum / jnp.maximum(count, 1.0)[:, None]
+
+            p01 = (pts - bound[:, 0]) / (bound[:, 1] - bound[:, 0])
+            in_bound = jnp.all((p01 >= 0) & (p01 <= 1), axis=-1)
+            pe, grid = pos_encode(params, jnp.clip(p01, 0, 1), spec)
+            lat = fine_apply(
+                params, label, pe[:, None, :], grid[:, None, :], cdt
+            )[:, 0]  # (B, h+1)
+            occ = jnp.where(in_bound, lat[:, 0], -100.0)
+            color, _ = out_apply(
+                params, pe, jnp.concatenate([lat[:, 1:], code], -1), cdt
+            )
+            out_label = jnp.where(in_bound & label_seen, label, -1)
+            return occ, out_label, color, count
+
+        return jax.jit(query_chunk)
+
+    # ------------------------------------------------------------------
+    def _grid(self):
+        pad = 0.05
+        lo = self.mc_bound[:, 0] - pad
+        hi = self.mc_bound[:, 1] + pad
+        r = self.resolution
+        axes = [np.linspace(lo[k], hi[k], r) for k in range(3)]
+        spacing = [(hi[k] - lo[k]) / (r - 1) for k in range(3)]
+        X, Y, Z = np.meshgrid(*axes, indexing="ij")
+        pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1).astype(np.float32)
+        return pts, lo, spacing
+
+    def extract(
+        self,
+        params,
+        enc_params,
+        keyframes,
+        class2color: Optional[np.ndarray] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Run the full extraction; returns mesh dict."""
+        from dnsjax.models.encoder import encode_images
+
+        kf = keyframes
+        K = kf.capacity
+        kf_valid = jnp.arange(K) < kf.count
+        feats = encode_images(
+            enc_params, kf.colors, self.compute_dtype
+        ).astype(self.compute_dtype)
+
+        pts, lo, spacing = self._grid()
+        n = pts.shape[0]
+        B = self.points_batch
+        occ = np.empty(n, np.float32)
+        label = np.empty(n, np.int32)
+        seen = np.empty(n, np.float32)
+        bound_j = jnp.asarray(self.bound, jnp.float32)
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            chunk = np.zeros((B, 3), np.float32)
+            chunk[: e - s] = pts[s:e]
+            o, l, _, cnt = self._query(
+                params, jnp.asarray(chunk), kf.est_c2w, kf_valid, feats,
+                kf.labels, kf.depths, bound_j,
+            )
+            occ[s:e] = np.asarray(o)[: e - s]
+            label[s:e] = np.asarray(l)[: e - s]
+            seen[s:e] = np.asarray(cnt)[: e - s]
+
+        r = self.resolution
+        verts, faces = marching_tetrahedra(
+            occ.reshape(r, r, r), self.level_set, origin=lo, spacing=spacing
+        )
+        if verts.shape[0] == 0:
+            return {"vertices": verts, "faces": faces}
+
+        if self.clean_mesh:
+            verts, faces = self._clean(verts, faces, seen.reshape(r, r, r), lo, spacing)
+
+        # per-vertex color/label
+        vcol = np.zeros((verts.shape[0], 3), np.float32)
+        vlab = np.zeros(verts.shape[0], np.int32)
+        for s in range(0, verts.shape[0], B):
+            e = min(s + B, verts.shape[0])
+            chunk = np.zeros((B, 3), np.float32)
+            chunk[: e - s] = verts[s:e]
+            _, l, c, _ = self._query(
+                params, jnp.asarray(chunk), kf.est_c2w, kf_valid, feats,
+                kf.labels, kf.depths, bound_j,
+            )
+            vcol[s:e] = np.asarray(c)[: e - s]
+            vlab[s:e] = np.asarray(l)[: e - s]
+
+        out = {"vertices": verts, "faces": faces, "colors": vcol, "labels": vlab}
+        if class2color is not None:
+            out["label_colors"] = class2color[np.clip(vlab, 0, len(class2color) - 1)]
+        return out
+
+    # ------------------------------------------------------------------
+    def _clean(self, verts, faces, seen_grid, lo, spacing):
+        """Cull faces whose vertices were never observed by any keyframe
+        (reference seen-mask clean, meshing.py:694-733) + optional small
+        connected-component removal."""
+        idx = np.round((verts - lo) / spacing).astype(np.int64)
+        idx = np.clip(idx, 0, self.resolution - 1)
+        vseen = seen_grid[idx[:, 0], idx[:, 1], idx[:, 2]] > 0
+        keep = vseen[faces].all(axis=1)
+        faces = faces[keep]
+
+        if self.get_largest or self.small_thresh > 0:
+            faces = self._remove_small_components(verts, faces)
+
+        # compact vertices
+        used = np.unique(faces)
+        remap = np.full(verts.shape[0], -1, np.int64)
+        remap[used] = np.arange(used.size)
+        return verts[used], remap[faces].astype(np.int32)
+
+    def _remove_small_components(self, verts, faces):
+        if faces.shape[0] == 0:
+            return faces
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+
+        e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+        g = coo_matrix(
+            (np.ones(e.shape[0]), (e[:, 0], e[:, 1])),
+            shape=(verts.shape[0], verts.shape[0]),
+        )
+        n_comp, lab = connected_components(g, directed=False)
+        face_comp = lab[faces[:, 0]]
+        sizes = np.bincount(lab, minlength=n_comp)
+        if self.get_largest:
+            keep_comp = {int(np.argmax(sizes))}
+        else:
+            # drop components smaller than small_thresh fraction of the largest
+            thr = sizes.max() * self.small_thresh
+            keep_comp = set(np.nonzero(sizes >= thr)[0].tolist())
+        keep = np.isin(face_comp, list(keep_comp))
+        return faces[keep]
+
+    # ------------------------------------------------------------------
+    def save_mesh(self, driver, idx: int):
+        """Driver hook: extract + export (reference: mapping.py:1092-1107)."""
+        class2color = getattr(driver, "class_colors", None)
+        mesh = self.extract(
+            driver.params, driver.enc_params, driver.keyframes, class2color
+        )
+        if mesh["faces"].shape[0] == 0:
+            print(f"mesh_{idx}: empty")
+            return
+        path = os.path.join(driver.out_dir, f"mesh_{idx}.ply")
+        write_ply(
+            path, mesh["vertices"], mesh["faces"],
+            colors=mesh.get("colors") if self.color else None,
+            labels=mesh.get("labels") if self.label else None,
+        )
+        if self.label and "label_colors" in mesh:
+            write_ply(
+                os.path.join(driver.out_dir, f"mesh_{idx}_semantic.ply"),
+                mesh["vertices"], mesh["faces"],
+                colors=mesh["label_colors"] / 255.0,
+                labels=mesh.get("labels"),
+            )
+        if self.element:
+            labs = mesh.get("labels")
+            for c in np.unique(labs):
+                sel = labs[mesh["faces"]].max(1) == c
+                if sel.sum() == 0:
+                    continue
+                write_ply(
+                    os.path.join(driver.out_dir, f"mesh_{idx}_part_{c}.ply"),
+                    mesh["vertices"], mesh["faces"][sel],
+                    colors=mesh.get("colors"),
+                )
+        print(f"mesh_{idx}.ply saved ({mesh['vertices'].shape[0]} verts)")

@@ -71,6 +71,7 @@ class DecoderSpec:
             log2_hashmap_size=int(m["grid"]["hash_size"]),
             base_resolution=int(m["grid"].get("base_resolution", 16)),
             desired_resolution=int(dim_max / float(m["grid"]["voxel_size"])),
+            grad_corners=int(m["grid"].get("grad_corners", 8)),
         )
         return DecoderSpec(
             n_class=n_class,

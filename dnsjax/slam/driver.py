@@ -155,7 +155,24 @@ class DNSSLAM:
 
         self.track_times: List[float] = []
         self.map_times: List[float] = []
-        self.mesher = None  # attached lazily by run() when meshing is on
+
+        # semantic class -> display color (reference: dns_slam.py:70-89 uses
+        # a fixed random palette per run)
+        self.class_colors = np.random.default_rng(7).integers(
+            0, 256, size=(max(self.n_class, 1), 3)
+        ).astype(np.uint8)
+
+        self.mesher = None
+        if self.mesh_every > 0 and "meshing" in cfg:
+            from dnsjax.mesh import Mesher
+
+            self.mesher = Mesher(
+                cfg,
+                dict(H=ds.H, W=ds.W, fx=ds.fx, fy=ds.fy, cx=ds.cx, cy=ds.cy),
+                self.bound,
+                self.spec,
+                self.compute_dtype,
+            )
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -358,6 +375,46 @@ class DNSSLAM:
         return aux, c2w_new[-1]
 
     # ------------------------------------------------------------------
+    def frame_vis(self, idx: int, cur) -> None:
+        """Render the full current frame and save a 3x3 residual panel
+        (reference: mapping.py:638-724 + utils/common.py:682-745)."""
+        from dnsjax.render.full import make_full_renderer
+        from dnsjax.viz.panels import residual_panel
+
+        if not hasattr(self, "_full_renderer"):
+            ds = self.dataset
+            self._full_renderer = make_full_renderer(
+                self.spec,
+                dict(H=ds.H, W=ds.W, fx=ds.fx, fy=ds.fy, cx=ds.cx, cy=ds.cy),
+                self.map_cfg.n_samples, self.map_cfg.n_surface,
+                compute_dtype=self.compute_dtype,
+            )
+        K = self.keyframes.count
+        cur_c2w = jnp.asarray(self.estimate_c2w[idx])
+        refs = [max(K - 2, 0), max(K - 1, 0)]
+        refer_c2w = jnp.stack(
+            [self.keyframes.est_c2w[refs[0]], self.keyframes.est_c2w[refs[1]], cur_c2w]
+        )
+        refer_colors = jnp.stack(
+            [self.keyframes.colors[refs[0]], self.keyframes.colors[refs[1]], cur["color"]]
+        )
+        feats = self._encode(self.enc_params, refer_colors)
+        from dnsjax.geometry.se3 import invert_se3
+
+        color, depth, logits = self._full_renderer(
+            self.params, cur_c2w, cur["depth"], cur["label"],
+            invert_se3(refer_c2w), feats, self.bound_j, self._next_key(),
+        )
+        pred_label = np.asarray(jnp.argmax(logits, -1))
+        residual_panel(
+            idx, self.out_dir,
+            np.asarray(cur["color"]), np.asarray(color),
+            np.asarray(cur["depth"]), np.asarray(depth),
+            np.asarray(cur["label"]), pred_label,
+            max_label=max(self.n_class, 2),
+        )
+
+    # ------------------------------------------------------------------
     def track_frame(self, idx: int, cur) -> np.ndarray:
         t0 = time.perf_counter()
         if self._refer_color is None or (
@@ -464,6 +521,13 @@ class DNSSLAM:
                         os.path.join(self.out_dir, "output_back_fine.txt"), "a"
                     ) as f:
                         f.write(line + "\n")
+
+                if (
+                    self.vis_every > 0
+                    and (idx % self.vis_every == 0 or idx <= 1)
+                    and self.verbose
+                ):
+                    self.frame_vis(idx, cur)
 
                 # keyframe insertion (reference: mapping.py:1082-1089)
                 if (

@@ -104,22 +104,20 @@ def smoothness_grid_occ(params, spec, bound, key, cfg: MapConfig, compute_dtype)
     return occ.reshape(g, g, g)
 
 
-def make_map_fn(
-    spec: DecoderSpec,
-    cfg: MapConfig,
-    n_target: int,
-    n_iters: int,
-    compute_dtype=jnp.bfloat16,
+def _build_loss_fn(
+    spec: DecoderSpec, cfg: MapConfig, n_target: int, compute_dtype=jnp.bfloat16
 ):
-    """Build the jitted mapping keystep for a window of ``n_target`` frames.
+    """The per-iteration mapping loss over a window of ``n_target`` frames
+    (shared by the single-chip and data-parallel keysteps).
 
-    Returns map_step(params, quads0, Ts0, window, bound, key) with window:
+    Window dict layout:
       colors (T,H,W,3), depths (T,H,W), labels (T,H,W) int32,
       sorted_idx (T,H*W) int32, offsets (T,C+1) int32,
-      refer_feats (T,R,Hf,Wf,64), refer_fixed_w2c (T,R,4,4),
+      refer_feats (T,R,Hf,Wf,64), refer_fixed_c2w (T,R,4,4),
       refer_src (T,R) int32 (index into window if the reference view is a
         live target, else -1),
       pose_train (T,) float (0 freezes a frame's pose),
+      bound (3,2),
       lt_gate_iter () int32 (lambda_lt = 0 while iter <= gate; reference
         mapping.py:898-904).
     """
@@ -129,14 +127,6 @@ def make_map_fn(
     n_bal = n_pix // 3
     n_ray = n_uni + n_bal
     S = cfg.n_samples + cfg.n_surface
-
-    opt = optax.multi_transform(
-        {
-            "net": optax.adam(cfg.lr),
-            "pose": optax.adam(cfg.ba_cam_lr),
-        },
-        ("net", "pose", "pose"),
-    )
 
     def sample_target(params, key, c2w_live, t, window):
         """Assemble one target frame's ray batch. Returns per-ray tensors."""
@@ -238,6 +228,27 @@ def make_map_fn(
             "fs_loss": fs_loss, "op_loss": op_loss,
         }
         return loss, aux
+
+    return loss_fn
+
+
+def make_map_fn(
+    spec: DecoderSpec,
+    cfg: MapConfig,
+    n_target: int,
+    n_iters: int,
+    compute_dtype=jnp.bfloat16,
+):
+    """Build the jitted mapping keystep for a window of ``n_target`` frames
+    (see _build_loss_fn for the window layout)."""
+    loss_fn = _build_loss_fn(spec, cfg, n_target, compute_dtype)
+    opt = optax.multi_transform(
+        {
+            "net": optax.adam(cfg.lr),
+            "pose": optax.adam(cfg.ba_cam_lr),
+        },
+        ("net", "pose", "pose"),
+    )
 
     @jax.jit
     def map_step(params, quads0, Ts0, window, key):
