@@ -104,6 +104,13 @@ def marching_tetrahedra(
     if min(nx, ny, nz) < 2:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
 
+    # prefer the native C++ implementation (same algorithm, ~10x faster)
+    from dnsjax.mesh.native import marching_tetrahedra_native
+
+    native = marching_tetrahedra_native(values, level, origin, spacing)
+    if native is not None:
+        return native
+
     # flat grid-point ids
     def pid(ix, iy, iz):
         return (ix * ny + iy) * nz + iz

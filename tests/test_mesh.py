@@ -61,3 +61,37 @@ def test_ply_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(f2, f)
     np.testing.assert_array_equal(l2, labels)
     assert np.abs(c2.astype(np.float32) / 255.0 - colors).max() < 0.01
+
+
+def test_native_matches_numpy():
+    """The C++ and numpy marching-tetrahedra paths produce the same mesh."""
+    import os
+
+    import dnsjax.mesh.native as nat
+    from dnsjax.mesh.native import marching_tetrahedra_native
+
+    vals, origin, spacing = sphere_field(n=20)
+    native = marching_tetrahedra_native(vals.astype(np.float32), 0.0, origin, spacing)
+    if native is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    vn, fn = native
+    os.environ["DNSJAX_NO_NATIVE"] = "1"
+    nat._TRIED = False
+    nat._LIB = None
+    try:
+        vp, fp = marching_tetrahedra(vals, 0.0, origin, spacing)
+    finally:
+        del os.environ["DNSJAX_NO_NATIVE"]
+        nat._TRIED = False
+        nat._LIB = None
+    assert vn.shape == vp.shape and fn.shape == fp.shape
+    sn = set(map(tuple, np.round(vn, 5)))
+    sp_ = set(map(tuple, np.round(vp, 5)))
+    assert sn == sp_
+    # both watertight
+    for f in (fn, fp):
+        e = np.sort(np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), 1)
+        _, c = np.unique(e, axis=0, return_counts=True)
+        assert np.all(c == 2)
