@@ -20,6 +20,8 @@ def main(argv=None):
     parser.add_argument("--output", type=str, default=None, help="output dir override")
     parser.add_argument("--end-frame", type=int, default=None,
                         help="stop after this many frames (debug)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint (.npz) to resume from")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -41,7 +43,11 @@ def main(argv=None):
         cfg.get("out_dir", "output"), cfg.get("scene", "scene")
     )
     slam = DNSSLAM(cfg, output_dir=out)
-    slam.run(end_frame=args.end_frame)
+    start = 0
+    if args.resume:
+        start = slam.resume(args.resume)
+        print(f"resumed from {args.resume} at frame {start}")
+    slam.run(end_frame=args.end_frame, start_frame=start)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,11 @@ class Mesher:
         self.color = bool(m.get("color", True))
         self.label = bool(m.get("label", True))
         self.element = bool(m.get("element", False))
+        self.depth_test = bool(m.get("depth_test", False))
+        self.use_est_depth = bool(m.get("use_est_depth", False))
+        self.show_forecast = bool(m.get("show_forecast", False))
+        self.bound_scale = float(m.get("clean_mesh_bound_scale", 1.02))
+        self.mask_all_frames = bool(m.get("get_mask_use_all_frames", False))
         scale = float(cfg.get("scale", 1))
         self.mc_bound = (
             np.asarray(
@@ -102,6 +107,12 @@ class Mesher:
                 ui = jnp.clip(u, 0, cam["W"] - 1).astype(jnp.int32)
                 vi = jnp.clip(v, 0, cam["H"] - 1).astype(jnp.int32)
                 kf_d = depth_img[vi, ui]
+                if self.depth_test:
+                    # visibility requires the point to not be far behind the
+                    # observed surface (reference: meshing.py:124-291;
+                    # zero-depth pixels pass, as the reference fills them
+                    # with max depth)
+                    seen = seen & ((kf_d <= 0) | (d <= kf_d + 0.5))
                 trunc = (d > kf_d * 0.95) & (d < kf_d * 1.05) & (kf_d > 0)
                 use = seen & trunc
                 code = code * use[:, None]
@@ -134,7 +145,15 @@ class Mesher:
             lat = fine_apply(
                 params, label, pe[:, None, :], grid[:, None, :], cdt
             )[:, 0]  # (B, h+1)
-            occ = jnp.where(in_bound, lat[:, 0], -100.0)
+            occ = lat[:, 0]
+            if self.show_forecast:
+                # never-observed points fall back to the class-agnostic
+                # coarse field (reference forecast path, meshing.py:447-532)
+                from dnsjax.models.decoder import coarse_apply
+
+                occ_c = coarse_apply(params, pe, grid, cdt)[:, 0]
+                occ = jnp.where(label_seen, occ, occ_c)
+            occ = jnp.where(in_bound, occ, -100.0)
             color, _ = out_apply(
                 params, pe, jnp.concatenate([lat[:, 1:], code], -1), cdt
             )
@@ -144,6 +163,89 @@ class Mesher:
         return jax.jit(query_chunk)
 
     # ------------------------------------------------------------------
+    def estimated_depths(self, params, keyframes) -> jnp.ndarray:
+        """Fill zero-depth keyframe pixels with coarse-rendered depth
+        (reference ``depth_render``, meshing.py:62-120; active when
+        depth_test + use_est_depth)."""
+        from dnsjax.geometry.rays import all_rays, ray_box_far
+        from dnsjax.models.decoder import coarse_apply
+        from dnsjax.render.composite import composite_rays
+        from dnsjax.render.sampling import sample_along_rays
+
+        cam, spec, cdt = self.cam, self.spec, self.compute_dtype
+        H, W = int(cam["H"]), int(cam["W"])
+        bound = jnp.asarray(self.bound, jnp.float32)
+        chunk = 8192
+        n = H * W
+        n_pad = (n + chunk - 1) // chunk * chunk
+
+        @jax.jit
+        def render_depth(params, c2w, depth):
+            o, d = all_rays(H, W, c2w, cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+            o = o.reshape(-1, 3)
+            d = d.reshape(-1, 3)
+            df = depth.reshape(-1)
+            far = ray_box_far(o, d, bound) + 0.01
+            z = sample_along_rays(jax.random.PRNGKey(0), df, 32, 0, far)
+
+            def pad(x):
+                return jnp.concatenate(
+                    [x, jnp.zeros((n_pad - n,) + x.shape[1:], x.dtype)], 0
+                ).reshape(n_pad // chunk, chunk, *x.shape[1:])
+
+            def body(args):
+                ro, rd, zc = args
+                pts = ro[:, None, :] + rd[:, None, :] * zc[:, :, None]
+                p01 = (pts.reshape(-1, 3) - bound[:, 0]) / (
+                    bound[:, 1] - bound[:, 0]
+                )
+                pe, grid = pos_encode(params, jnp.clip(p01, 0, 1), spec)
+                occ = coarse_apply(params, pe, grid, cdt)[:, 0].reshape(
+                    chunk, -1
+                )
+                dep, _, _, _ = composite_rays(
+                    jnp.zeros(occ.shape + (3,)), occ, zc, rd
+                )
+                return dep
+
+            est = jax.lax.map(body, (pad(o), pad(d), pad(z))).reshape(-1)[:n]
+            return jnp.where(df > 0, df, est).reshape(H, W)
+
+        out = []
+        for k in range(keyframes.count):
+            out.append(
+                render_depth(params, keyframes.est_c2w[k], keyframes.depths[k])
+            )
+        filled = jnp.stack(out)
+        pad_k = keyframes.capacity - keyframes.count
+        return jnp.concatenate(
+            [filled, keyframes.depths[keyframes.count :]], 0
+        ) if pad_k else filled
+
+    def frames_hull(self, keyframes):
+        """Convex hull of the back-projected keyframe depth clouds, scaled by
+        clean_mesh_bound_scale — replaces the reference's open3d TSDF-volume
+        hull (meshing.py:380-445), used to crop forecast geometry."""
+        from scipy.spatial import Delaunay
+
+        from dnsjax.geometry.rays import all_rays
+
+        pts = []
+        H, W = int(self.cam["H"]), int(self.cam["W"])
+        for k in range(keyframes.count):
+            o, d = all_rays(
+                H, W, keyframes.est_c2w[k],
+                self.cam["fx"], self.cam["fy"], self.cam["cx"], self.cam["cy"],
+            )
+            dep = np.asarray(keyframes.depths[k])[::8, ::8]
+            p = np.asarray(o)[::8, ::8] + np.asarray(d)[::8, ::8] * dep[..., None]
+            pts.append(p.reshape(-1, 3)[dep.reshape(-1) > 0])
+        cloud = np.concatenate(pts, 0)
+        centroid = cloud.mean(0)
+        cloud = (cloud - centroid) * self.bound_scale + centroid
+        return Delaunay(cloud[np.random.default_rng(0).choice(
+            cloud.shape[0], size=min(20000, cloud.shape[0]), replace=False)])
+
     def _grid(self):
         pad = 0.05
         lo = self.mc_bound[:, 0] - pad
@@ -161,6 +263,7 @@ class Mesher:
         enc_params,
         keyframes,
         class2color: Optional[np.ndarray] = None,
+        all_poses: Optional[np.ndarray] = None,
     ) -> Dict[str, np.ndarray]:
         """Run the full extraction; returns mesh dict."""
         from dnsjax.models.encoder import encode_images
@@ -171,6 +274,9 @@ class Mesher:
         feats = encode_images(
             enc_params, kf.colors, self.compute_dtype
         ).astype(self.compute_dtype)
+        kf_depths = kf.depths
+        if self.depth_test and self.use_est_depth:
+            kf_depths = self.estimated_depths(params, kf)
 
         pts, lo, spacing = self._grid()
         n = pts.shape[0]
@@ -185,7 +291,7 @@ class Mesher:
             chunk[: e - s] = pts[s:e]
             o, l, _, cnt = self._query(
                 params, jnp.asarray(chunk), kf.est_c2w, kf_valid, feats,
-                kf.labels, kf.depths, bound_j,
+                kf.labels, kf_depths, bound_j,
             )
             occ[s:e] = np.asarray(o)[: e - s]
             label[s:e] = np.asarray(l)[: e - s]
@@ -199,7 +305,15 @@ class Mesher:
             return {"vertices": verts, "faces": faces}
 
         if self.clean_mesh:
-            verts, faces = self._clean(verts, faces, seen.reshape(r, r, r), lo, spacing)
+            if self.show_forecast and kf.count > 0:
+                hull = self.frames_hull(kf)
+                inside = hull.find_simplex(verts) >= 0
+                keep = inside[faces].all(axis=1)
+                faces = faces[keep]
+            verts, faces = self._clean(
+                verts, faces, seen.reshape(r, r, r), lo, spacing,
+                all_poses=all_poses,
+            )
 
         # per-vertex color/label
         vcol = np.zeros((verts.shape[0], 3), np.float32)
@@ -210,7 +324,7 @@ class Mesher:
             chunk[: e - s] = verts[s:e]
             _, l, c, _ = self._query(
                 params, jnp.asarray(chunk), kf.est_c2w, kf_valid, feats,
-                kf.labels, kf.depths, bound_j,
+                kf.labels, kf_depths, bound_j,
             )
             vcol[s:e] = np.asarray(c)[: e - s]
             vlab[s:e] = np.asarray(l)[: e - s]
@@ -221,13 +335,17 @@ class Mesher:
         return out
 
     # ------------------------------------------------------------------
-    def _clean(self, verts, faces, seen_grid, lo, spacing):
+    def _clean(self, verts, faces, seen_grid, lo, spacing, all_poses=None):
         """Cull faces whose vertices were never observed by any keyframe
         (reference seen-mask clean, meshing.py:694-733) + optional small
-        connected-component removal."""
+        connected-component removal. With get_mask_use_all_frames, ANY
+        trajectory pose's frustum counts as observation (meshing.py:124-291
+        all-frames variant)."""
         idx = np.round((verts - lo) / spacing).astype(np.int64)
         idx = np.clip(idx, 0, self.resolution - 1)
         vseen = seen_grid[idx[:, 0], idx[:, 1], idx[:, 2]] > 0
+        if self.mask_all_frames and all_poses is not None:
+            vseen = vseen | self._frustum_any(verts, all_poses)
         keep = vseen[faces].all(axis=1)
         faces = faces[keep]
 
@@ -239,6 +357,31 @@ class Mesher:
         remap = np.full(verts.shape[0], -1, np.int64)
         remap[used] = np.arange(used.size)
         return verts[used], remap[faces].astype(np.int32)
+
+    def _frustum_any(self, verts, poses) -> np.ndarray:
+        """True for vertices inside any pose's frustum (poses only, no
+        depth test)."""
+        from dnsjax.geometry.rays import project_points, world_to_camera
+        from dnsjax.geometry.se3 import invert_se3
+
+        cam = self.cam
+        seen = np.zeros(verts.shape[0], bool)
+        v = jnp.asarray(verts)
+
+        @jax.jit
+        def check(pose_batch, v):
+            w2c = invert_se3(pose_batch)
+            pc = world_to_camera(v, w2c)
+            u, vv, d = project_points(pc, cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+            ok = (u > 0) & (u < cam["W"] - 1) & (vv > 0) & (vv < cam["H"] - 1) & (d > 0)
+            return jnp.any(ok, axis=0)
+
+        poses = np.asarray(poses)
+        ok = poses.reshape(-1, 16).std(1) > 0  # skip identity placeholders
+        poses = poses[np.isfinite(poses).all((1, 2))]
+        for s0 in range(0, poses.shape[0], 64):
+            seen |= np.asarray(check(jnp.asarray(poses[s0:s0+64]), v))
+        return seen
 
     def _remove_small_components(self, verts, faces):
         if faces.shape[0] == 0:
@@ -268,7 +411,8 @@ class Mesher:
         """Driver hook: extract + export (reference: mapping.py:1092-1107)."""
         class2color = getattr(driver, "class_colors", None)
         mesh = self.extract(
-            driver.params, driver.enc_params, driver.keyframes, class2color
+            driver.params, driver.enc_params, driver.keyframes, class2color,
+            all_poses=driver.estimate_c2w[: idx + 1],
         )
         if mesh["faces"].shape[0] == 0:
             print(f"mesh_{idx}: empty")

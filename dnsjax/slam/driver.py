@@ -125,6 +125,7 @@ class DNSSLAM:
         self.checkpoint_every = int(mp.get("checkpoint_every", 0))
         self.use_gt_camera = bool(cfg.get("use_gt_camera", False))
         self.const_speed = bool(cfg.get("const_speed_assumption", True))
+        self.sync_method = str(cfg.get("sync_method", "strict"))
 
         cap = int(mp.get("max_keyframes", 96))
         self.keyframes = KeyframeStore(cap, ds.H, ds.W, self.n_class)
@@ -453,39 +454,102 @@ class DNSSLAM:
             print(line)
             with open(os.path.join(self.out_dir, "output_front.txt"), "a") as f:
                 f.write(line + "\n")
+        self._log_metric(
+            event="track", frame=idx, p_loss=float(metrics["p_loss"]),
+            d_loss=float(metrics["d_loss"]), best_loss=float(metrics["best_loss"]),
+            seconds=dt,
+        )
         return c2w
 
     # ------------------------------------------------------------------
-    def run(self, end_frame: Optional[int] = None):
+    def _should_map(self, idx: int, last_mapped: int, n: int) -> bool:
+        """Interleave policy (reference ``sync_method``, tracking.py:259-269 +
+        mapping.py:996-1003): strict maps every optimize_every-th frame;
+        loose maps about twice as often; free maps after every frame. The
+        last frame always maps."""
+        if idx == n - 1:
+            return True
+        if self.sync_method == "strict":
+            return idx % self.optimize_every == 0 and idx > last_mapped
+        if self.sync_method == "loose":
+            return idx >= last_mapped + max(self.optimize_every // 2, 1)
+        return True  # free
+
+    def _log_metric(self, **kw) -> None:
+        """Append one JSON line to metrics.jsonl (structured observability;
+        the reference only has free-text logs, SURVEY.md §5)."""
+        import json
+
+        kw["t"] = time.time()
+        with open(os.path.join(self.out_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(kw) + "\n")
+
+    def resume(self, path: str) -> int:
+        """Restore a checkpoint saved by save_checkpoint; returns the next
+        frame index to process. (The reference defines Checkpoint.load but
+        never wires it into the live loop — dns_slam.py:155-158.)"""
+        from dnsjax.models.checkpoint import load_checkpoint, restore_params
+
+        ckpt = load_checkpoint(path)
+        self.params = restore_params(self.params, ckpt)
+        self.enc_params = restore_params(self.enc_params, ckpt, "enc")
+        self.estimate_c2w[:] = ckpt["estimate_c2w"][: self.n_img]
+        self.gt_c2w[:] = ckpt["gt_c2w"][: self.n_img]
+        meta = ckpt["meta"]
+        self.exist_decoders = {int(k): v for k, v in meta["exist_decoders"].items()}
+        if "kf/colors" in ckpt:
+            for k in range(ckpt["kf/colors"].shape[0]):
+                self.keyframes.add(
+                    {
+                        "color": ckpt["kf/colors"][k],
+                        "depth": ckpt["kf/depths"][k],
+                        "label": ckpt["kf/labels"][k],
+                        "c2w": ckpt["kf/gt_c2w"][k],
+                        "index": meta["kf_frame_ids"][k],
+                    },
+                    ckpt["kf/est_c2w"][k],
+                )
+        self.first_frame_optimized = True
+        return int(meta["idx"]) + 1
+
+    def run(self, end_frame: Optional[int] = None, start_frame: int = 0):
         """The strict-sync schedule (reference behaviors at tracking.py:259-269
         + mapping.py:988-1016): frames 0-1 use GT poses; mapping runs on
         frame 0 (bootstrap) and every optimize_every-th frame + the last."""
         n = self.n_img if end_frame is None else min(end_frame, self.n_img)
 
-        f0 = self._frame_to_device(self.dataset[0])
-        self.gt_c2w[0] = np.asarray(f0["c2w"])
-        self.estimate_c2w[0] = self.gt_c2w[0]
-        self.keyframes.add(
-            {k: np.asarray(v) for k, v in f0.items() if k != "index"}
-            | {"index": 0},
-            self.gt_c2w[0],
-        )
-        if n > 1:
-            f1 = self.dataset[1]
-            self.gt_c2w[1] = f1["c2w"]
-            self.estimate_c2w[1] = f1["c2w"]
+        if start_frame == 0:
+            f0 = self._frame_to_device(self.dataset[0])
+            self.gt_c2w[0] = np.asarray(f0["c2w"])
+            self.estimate_c2w[0] = self.gt_c2w[0]
+            self.keyframes.add(
+                {k: np.asarray(v) for k, v in f0.items() if k != "index"}
+                | {"index": 0},
+                self.gt_c2w[0],
+            )
+            if n > 1:
+                f1 = self.dataset[1]
+                self.gt_c2w[1] = f1["c2w"]
+                self.estimate_c2w[1] = f1["c2w"]
 
-        # bootstrap mapping on frame 0
-        t0 = time.perf_counter()
-        self.map_once(0, f0, self.n_iters_first, "overlap", is_first=True)
-        self.map_times.append(time.perf_counter() - t0)
-        self.first_frame_optimized = True
-        self._pre_color = f0["color"]
-        if self.verbose:
-            print(f"BACK: init mapping done in {self.map_times[-1]:.1f}s")
+            # bootstrap mapping on frame 0
+            t0 = time.perf_counter()
+            self.map_once(0, f0, self.n_iters_first, "overlap", is_first=True)
+            self.map_times.append(time.perf_counter() - t0)
+            self.first_frame_optimized = True
+            self._pre_color = f0["color"]
+            if self.verbose:
+                print(f"BACK: init mapping done in {self.map_times[-1]:.1f}s")
+            self._log_metric(event="init_map", seconds=self.map_times[-1])
+            start = 1
+        else:
+            # resumed: previous frame's image seeds the tracker reference
+            start = start_frame
+            prev = self._frame_to_device(self.dataset[start - 1])
+            self._pre_color = prev["color"]
 
-        last_mapped = 0
-        for idx in range(1, n):
+        last_mapped = start - 1
+        for idx in range(start, n):
             cur = self._frame_to_device(self.dataset[idx])
             self.gt_c2w[idx] = np.asarray(cur["c2w"])
 
@@ -499,8 +563,8 @@ class DNSSLAM:
             else:
                 self.track_frame(idx, cur)
 
-            # mapping keystep
-            if (idx % self.optimize_every == 0 and idx > last_mapped) or idx == n - 1:
+            # mapping keystep, per sync policy
+            if self._should_map(idx, last_mapped, n):
                 t0 = time.perf_counter()
                 outer = 2
                 iters = self.n_iters // outer
@@ -521,6 +585,13 @@ class DNSSLAM:
                         os.path.join(self.out_dir, "output_back_fine.txt"), "a"
                     ) as f:
                         f.write(line + "\n")
+                self._log_metric(
+                    event="map", frame=idx,
+                    p_loss=float(aux["p_loss"]), d_loss=float(aux["d_loss"]),
+                    l_loss=float(aux["l_loss"]), lt_loss=float(aux["lt_loss"]),
+                    seconds=self.map_times[-1],
+                    n_keyframes=self.keyframes.count,
+                )
 
                 if (
                     self.vis_every > 0

@@ -95,3 +95,38 @@ def test_native_matches_numpy():
         e = np.sort(np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), 1)
         _, c = np.unique(e, axis=0, return_counts=True)
         assert np.all(c == 2)
+
+
+def test_raycaster():
+    from dnsjax.mesh.raycast import MeshRaycaster, load
+
+    if load() is None:
+        import pytest
+
+        pytest.skip("native raycaster unavailable")
+    vals, origin, spacing = sphere_field(n=28)
+    v, f = marching_tetrahedra(vals, 0.0, origin, spacing)
+    rc = MeshRaycaster(v, f)
+    o = np.array([[0, 0, 0], [0, 0, 0], [5, 0, 0]], np.float32)
+    d = np.array([[1, 0, 0], [0, 0, 1], [1, 0, 0]], np.float32)
+    t = rc.trace(o, d)
+    np.testing.assert_allclose(t[:2], 1.0, atol=0.02)
+    assert t[2] == 0.0  # pointing away -> miss
+
+
+def test_depth_l1_virtual_views():
+    from dnsjax.eval.mesh_metrics import depth_l1_virtual_views
+    from dnsjax.mesh.raycast import load
+
+    if load() is None:
+        import pytest
+
+        pytest.skip("native raycaster unavailable")
+    vals, origin, spacing = sphere_field(n=24)
+    v, f = marching_tetrahedra(vals, 0.0, origin, spacing)
+    same = depth_l1_virtual_views(v, f, v, f, n_views=8, H=60, W=80)
+    assert same["depth_l1_cm"] < 0.01
+    shifted = depth_l1_virtual_views(
+        v + np.array([0.05, 0, 0], np.float32), f, v, f, n_views=8, H=60, W=80
+    )
+    assert 1.0 < shifted["depth_l1_cm"] < 20.0

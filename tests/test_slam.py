@@ -170,3 +170,36 @@ def test_driver_full_tracking_small():
     # parity is measured on Replica via eval_ate)
     assert terr.max() < 0.30, terr
     assert np.all(np.isfinite(est))
+
+
+def test_sync_method_policies():
+    cfg = synthetic_slam_config()
+    slam = DNSSLAM.__new__(DNSSLAM)
+    slam.optimize_every = 4
+    slam.sync_method = "strict"
+    assert slam._should_map(8, 4, 100) and not slam._should_map(7, 4, 100)
+    assert slam._should_map(99, 96, 100)  # last frame always maps
+    slam.sync_method = "loose"
+    assert slam._should_map(6, 4, 100) and not slam._should_map(5, 4, 100)
+    slam.sync_method = "free"
+    assert slam._should_map(5, 4, 100)
+
+
+def test_resume_roundtrip(slam_gt_camera, tmp_path):
+    """A resumed driver continues from the checkpoint with identical state."""
+    import os
+
+    slam = slam_gt_camera
+    slam.save_checkpoint("resume.npz", 5)
+    cfg = synthetic_slam_config(n_frames=8, n_iters_map=30)
+    cfg["use_gt_camera"] = True
+    slam2 = DNSSLAM(cfg, output_dir="/tmp/dnsjax_resume")
+    start = slam2.resume(os.path.join(slam.out_dir, "resume.npz"))
+    assert start == 6
+    assert slam2.keyframes.count == slam.keyframes.count
+    np.testing.assert_allclose(
+        np.asarray(slam2.params["table"]), np.asarray(slam.params["table"])
+    )
+    # continue the run from frame 6
+    slam2.run(start_frame=start)
+    assert np.isfinite(slam2.estimate_c2w[:8]).all()
