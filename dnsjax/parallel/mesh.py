@@ -52,11 +52,6 @@ def make_map_fn_dp(
     signature/semantics to the single-chip version; params/window replicated,
     PRNG folded per device, grads pmean'd over 'dp'.
     """
-    # Reuse the single-chip loss machinery by constructing a non-jitted copy
-    # of its internals: we rebuild the same closures make_map_fn uses.
-    single = _mapper.make_map_fn.__wrapped__ if hasattr(_mapper.make_map_fn, "__wrapped__") else None
-    del single  # make_map_fn isn't wrapped; we inline the scan below.
-
     T = n_target
     opt = optax.multi_transform(
         {"net": optax.adam(cfg.lr), "pose": optax.adam(cfg.ba_cam_lr)},
@@ -80,20 +75,23 @@ def make_map_fn_dp(
             )
             grads = jax.lax.pmean(grads, "dp")
             loss = jax.lax.pmean(loss, "dp")
+            aux = jax.tree_util.tree_map(lambda a: jax.lax.pmean(a, "dp"), aux)
             gp, gq, gT = grads
             gq = gq * pose_train[:, None]
             gT = gT * pose_train[:, None]
             updates, opt_state = opt.update((gp, gq, gT), opt_state)
             opt_params = optax.apply_updates(opt_params, updates)
-            return (opt_params, opt_state), loss
+            return (opt_params, opt_state), (loss, aux)
 
         keys = jax.random.split(key, n_iters)
         its = jnp.arange(n_iters)
-        (opt_params, _), losses = jax.lax.scan(
+        (opt_params, _), (losses, auxs) = jax.lax.scan(
             step, (opt_params, opt_state), (its, keys)
         )
         params, quads, Ts = opt_params
-        return params, quads, Ts, losses
+        final_aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
+        final_aux["losses"] = losses
+        return params, quads, Ts, final_aux
 
     sharded = shard_map(
         device_body,

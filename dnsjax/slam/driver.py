@@ -83,6 +83,11 @@ class DNSSLAM:
             else jnp.float32
         )
         self.fix_refer_bug = bool(tpu_cfg.get("fix_refer_frame_bug", True))
+        # data-parallel ray sharding over the first N devices (tpu.data_parallel;
+        # each device samples its own cfg.n_pixels rays, grads pmean over ICI)
+        self.dp_devices = min(
+            int(tpu_cfg.get("data_parallel", 1)), len(jax.devices())
+        )
 
         seed = int(cfg.get("seed", 0))
         self.key = jax.random.PRNGKey(seed)
@@ -183,9 +188,18 @@ class DNSSLAM:
     def _map_fn(self, n_target: int, n_iters: int):
         k = (n_target, n_iters)
         if k not in self._map_fns:
-            self._map_fns[k] = make_map_fn(
-                self.spec, self.map_cfg, n_target, n_iters, self.compute_dtype
-            )
+            if self.dp_devices > 1:
+                from dnsjax.parallel.mesh import make_map_fn_dp, ray_mesh
+
+                self._map_fns[k] = make_map_fn_dp(
+                    self.spec, self.map_cfg, n_target, n_iters,
+                    ray_mesh(self.dp_devices), self.compute_dtype,
+                )
+            else:
+                self._map_fns[k] = make_map_fn(
+                    self.spec, self.map_cfg, n_target, n_iters,
+                    self.compute_dtype,
+                )
         return self._map_fns[k]
 
     def _frame_to_device(self, frame: Dict[str, np.ndarray]):
