@@ -76,7 +76,10 @@ class BaseDataset:
 
     def update_cam_for_crop(self) -> None:
         """Adjust intrinsics for crop_size / crop_edge (reference:
-        slams/dns_slam.py:110-132 ``update_cam``)."""
+        slams/dns_slam.py:110-132 ``update_cam``). Keeps a copy of the raw
+        intrinsics: undistortion happens on the raw full-resolution image,
+        so it must use the pre-crop K."""
+        self._raw_intrinsics = (self.fx, self.fy, self.cx, self.cy)
         if self.crop_size is not None:
             ch, cw = int(self.crop_size[0]), int(self.crop_size[1])
             sx = cw / self.W
@@ -98,9 +101,10 @@ class BaseDataset:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         color = cv2.imread(self._color_path(index))
         if self.distortion is not None:
-            K = np.array(
-                [[self.fx, 0, self.cx], [0, self.fy, self.cy], [0, 0, 1.0]]
+            fx, fy, cx, cy = getattr(
+                self, "_raw_intrinsics", (self.fx, self.fy, self.cx, self.cy)
             )
+            K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
             color = cv2.undistort(color, K, self.distortion)
         color = cv2.cvtColor(color, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
 

@@ -377,8 +377,10 @@ class Mesher:
             return jnp.any(ok, axis=0)
 
         poses = np.asarray(poses)
-        ok = poses.reshape(-1, 16).std(1) > 0  # skip identity placeholders
-        poses = poses[np.isfinite(poses).all((1, 2))]
+        # skip untracked identity placeholders and invalid poses
+        is_identity = np.abs(poses - np.eye(4)).max(axis=(1, 2)) < 1e-8
+        ok = (~is_identity) & np.isfinite(poses).all((1, 2))
+        poses = poses[ok]
         for s0 in range(0, poses.shape[0], 64):
             seen |= np.asarray(check(jnp.asarray(poses[s0:s0+64]), v))
         return seen

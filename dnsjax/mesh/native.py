@@ -45,7 +45,7 @@ def load() -> Optional[ctypes.CDLL]:
     so = os.path.join(_src_dir(), "libmarching.so")
     if not os.path.exists(src):
         return None
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+    if not os.path.exists(so) or os.path.getmtime(so) <= os.path.getmtime(src):
         if not _build(src, so):
             return None
     try:

@@ -107,6 +107,8 @@ def get_encoder(
         key = jax.random.PRNGKey(0)
 
     if "dense" in e:
+        # NOTE: like the reference factory (pos_encoding.py:14), the dense
+        # branch FORCES n_levels=4 regardless of the n_levels argument
         spec = HashGridSpec(4, level_dim, log2_hashmap_size, base_resolution,
                             desired_resolution)
         table = init_hash_table(key, spec)

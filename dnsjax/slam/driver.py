@@ -154,6 +154,14 @@ class DNSSLAM:
         self.first_frame_optimized = False
         self.rng = np.random.default_rng(seed)
 
+        # encoder-feature caches: keyframe images never change, and the
+        # current frame is shared by the two outer mapping calls per keystep
+        # (frozen encoder; ~26 MB bf16 per keyframe at Replica resolution)
+        self._kf_feats: Dict[int, Any] = {}
+        self._cur_feats_idx: int = -1
+        self._cur_feats = None
+        self._cur_sorted = None
+
         # tracker reference view state
         self._refer_color: Optional[jnp.ndarray] = None
         self._refer_w2c: Optional[jnp.ndarray] = None
@@ -263,9 +271,13 @@ class DNSSLAM:
         depths = gather(kf.depths, cur["depth"])
         labels = gather(kf.labels, cur["label"])
 
-        cur_sorted, cur_off = class_sorted_pixels(
-            np.asarray(cur["label"]), self.n_class
-        )
+        if self._cur_feats_idx == int(cur["index"]):
+            cur_sorted, cur_off = self._cur_sorted
+        else:
+            cur_sorted, cur_off = class_sorted_pixels(
+                np.asarray(cur["label"]), self.n_class
+            )
+            self._cur_sorted = (cur_sorted, cur_off)
         sorted_idx = gather(kf.sorted_idx, jnp.asarray(cur_sorted))
         offsets = gather(kf.class_offsets, jnp.asarray(cur_off))
 
@@ -286,16 +298,29 @@ class DNSSLAM:
         refer_fixed_c2w = kf.est_c2w[jnp.asarray(refer_slots.reshape(-1))].reshape(
             T, 3, 4, 4
         )
-        refer_colors = jnp.concatenate(
-            [
-                kf.colors[jnp.asarray(refer_slots[:, :2].reshape(-1))].reshape(
-                    T, 2, kf.H, kf.W, 3
-                ),
-                colors[:, None],
-            ],
-            axis=1,
-        )
-        refer_feats = self._encode(self.enc_params, refer_colors)
+
+        # assemble reference-view encoder features from caches
+        def kf_feats(slot: int):
+            if slot not in self._kf_feats:
+                self._kf_feats[slot] = self._encode(
+                    self.enc_params, kf.colors[slot][None]
+                )[0]
+            return self._kf_feats[slot]
+
+        if self._cur_feats_idx != int(cur["index"]):
+            self._cur_feats = self._encode(self.enc_params, cur["color"][None])[0]
+            self._cur_feats_idx = int(cur["index"])
+        per_target = []
+        for i, tid in enumerate(slots):
+            self_feats = self._cur_feats if tid == -1 else kf_feats(targets[i])
+            per_target.append(
+                jnp.stack(
+                    [kf_feats(int(refer_slots[i, 0])),
+                     kf_feats(int(refer_slots[i, 1])),
+                     self_feats]
+                )
+            )
+        refer_feats = jnp.stack(per_target)
 
         pose_train = np.ones(T, np.float32)
         pose_train[0] = 0.0 if T > 1 else 1.0  # oldest frame frozen
