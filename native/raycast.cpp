@@ -87,7 +87,16 @@ struct BVH {
     }
 
     float trace(V3 o, V3 d) const {
-        V3 inv{1.0f / d.x, 1.0f / d.y, 1.0f / d.z};
+        // NaN-safe slab reciprocals: a zero direction component with the
+        // origin exactly on a node-box plane yields (0-0)*inf = NaN, which
+        // poisons std::min/max and drops hits. Clamp |d| away from zero so
+        // products stay finite with correct signs.
+        auto safe_inv = [](float x) {
+            const float eps = 1e-20f;
+            if (x > -eps && x < eps) x = std::copysign(eps, x);
+            return 1.0f / x;
+        };
+        V3 inv{safe_inv(d.x), safe_inv(d.y), safe_inv(d.z)};
         float best = FLT_MAX;
         int32_t stack[64];
         int sp = 0;
@@ -98,17 +107,21 @@ struct BVH {
             if (n.count) {
                 for (int32_t i = 0; i < n.count; ++i) {
                     int32_t t = order[n.left + i];
-                    // Moeller-Trumbore
+                    // Moeller-Trumbore with a small barycentric tolerance:
+                    // rays through shared vertices/edges (exactly on the
+                    // u/v boundary) must not slip between adjacent
+                    // triangles; double-hits share the same t.
+                    const float beps = 1e-6f;
                     V3 p = cross(d, e2[t]);
                     float det = dot(e1[t], p);
                     if (std::fabs(det) < 1e-12f) continue;
                     float invdet = 1.0f / det;
                     V3 s = sub(o, v0[t]);
                     float u = dot(s, p) * invdet;
-                    if (u < 0 || u > 1) continue;
+                    if (u < -beps || u > 1 + beps) continue;
                     V3 q = cross(s, e1[t]);
                     float v = dot(d, q) * invdet;
-                    if (v < 0 || u + v > 1) continue;
+                    if (v < -beps || u + v > 1 + beps) continue;
                     float tt = dot(e2[t], q) * invdet;
                     if (tt > 1e-6f && tt < best) best = tt;
                 }
