@@ -64,7 +64,7 @@ def main():
     mcfg = MapConfig(
         H=H, W=W, fx=fx, fy=fx, cx=cx, cy=cy,
         n_pixels=N_PIXELS, n_samples=N_SAMPLES, n_surface=N_SURFACE,
-        smooth_pts=33,
+        smooth_pts=33, feature_taps=1,
     )
     map_fn = make_map_fn(spec, mcfg, N_TARGET, N_ITERS)
 

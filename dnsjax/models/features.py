@@ -44,6 +44,14 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nda
     )
 
 
+def nearest_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Nearest sample of (H, W, C) at continuous pixel coords, clamped."""
+    H, W = img.shape[0], img.shape[1]
+    xi = jnp.clip(jnp.round(x), 0, W - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(y), 0, H - 1).astype(jnp.int32)
+    return img[yi, xi]
+
+
 def match_features(
     params: Dict[str, Any],
     pts_w: jnp.ndarray,
@@ -53,6 +61,7 @@ def match_features(
     bound: jnp.ndarray,
     spec: DecoderSpec,
     compute_dtype=jnp.bfloat16,
+    taps: int = 4,
 ) -> jnp.ndarray:
     """Project points into each reference view and fuse gathered features.
 
@@ -63,6 +72,11 @@ def match_features(
       feats_half: (R, Hf, Wf, 64) encoder features at half resolution.
       cam: dict with H, W, fx, fy, cx, cy (full-resolution intrinsics).
       bound: (3, 2) scene bound.
+      taps: 4 = bilinear gather (equivalent to the reference's upsample +
+        nearest-pixel lookup); 1 = nearest tap at half resolution — 4x fewer
+        gather rows (the dominant cost of this op on TPU) at a comparable
+        approximation level, since the reference itself rounds to the
+        nearest full-res pixel.
     Returns:
       (P, hidden_dim) merged code. Out-of-frustum / behind-camera samples
       contribute a zeroed pixel feature (but still a PE term) to the view
@@ -81,7 +95,8 @@ def match_features(
     # Full-res pixel -> half-res coordinate under align_corners=True upsampling.
     gx = u * ((Wf - 1.0) / (W - 1.0))
     gy = v * ((Hf - 1.0) / (H - 1.0))
-    code = jax.vmap(bilinear_sample)(feats_half, gx, gy)  # (R, P, 64)
+    sampler = bilinear_sample if taps == 4 else nearest_sample
+    code = jax.vmap(sampler)(feats_half, gx, gy)  # (R, P, 64)
     code = code * mask[..., None]
 
     refer_c2w = invert_se3(refer_w2c)

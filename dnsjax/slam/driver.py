@@ -83,6 +83,7 @@ class DNSSLAM:
             else jnp.float32
         )
         self.fix_refer_bug = bool(tpu_cfg.get("fix_refer_frame_bug", True))
+        feature_taps = int(tpu_cfg.get("feature_taps", 4))
         # data-parallel ray sharding over the first N devices (tpu.data_parallel;
         # each device samples its own cfg.n_pixels rays, grads pmean over ICI)
         self.dp_devices = min(
@@ -103,6 +104,7 @@ class DNSSLAM:
             ignore_edge=int(tr.get("ignore_edge", 20)),
             cam_lr=float(tr["cam_lr"]),
             separate_lr=bool(cfg.get("seperate_LR", False)),
+            feature_taps=feature_taps,
             lambda_p=float(trn["lambda_color"]), lambda_d=float(trn["lambda_depth"]),
             lambda_l=float(trn["lambda_label"]),
         )
@@ -116,6 +118,7 @@ class DNSSLAM:
             lambda_fs=float(trn["lambda_fs"]), lambda_op=float(trn["lambda_opacity"]),
             smooth_pts=int(trn["smooth_pts"]),
             opacity_sigma=float(trn["opacity_sigma"]),
+            feature_taps=feature_taps,
         )
 
         self.n_joint = int(mp["n_joint_optimize_frames"])

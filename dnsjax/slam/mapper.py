@@ -76,6 +76,7 @@ class MapConfig:
     smooth_margin: float = 0.05
     opacity_sigma: float = 0.05
     truncation: float = 0.2
+    feature_taps: int = 4  # 1 = nearest half-res tap (see models/features.py)
 
     @property
     def cam(self):
@@ -169,7 +170,7 @@ def _build_loss_fn(
 
         code = match_features(
             params, pts.reshape(-1, 3), refer_w2c, window["refer_feats"][t],
-            cfg.cam, window["bound"], spec, compute_dtype,
+            cfg.cam, window["bound"], spec, compute_dtype, taps=cfg.feature_taps,
         ).reshape(n_ray, S, -1)
         front = z < gt_d[:, None] * 0.95
         back = z > gt_d[:, None] * 1.05
@@ -315,7 +316,7 @@ def make_decoder_init_fn(
         w2c = invert_se3(frame["c2w"])[None]
         code = match_features(
             params, pts.reshape(-1, 3), w2c, frame["feats"],
-            cfg.cam, frame["bound"], spec, compute_dtype,
+            cfg.cam, frame["bound"], spec, compute_dtype, taps=cfg.feature_taps,
         ).reshape(n_pixels, S, -1)
         front = z < gt_d[:, None] * 0.95
         back = z > gt_d[:, None] * 1.05

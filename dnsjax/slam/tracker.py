@@ -62,6 +62,7 @@ class TrackConfig:
     # — rays are nearly free on TPU, so the TPU profile raises
     # tracking.n_pixels instead of decaying. 1.0 = constant lr (default).
     lr_decay: float = 1.0
+    feature_taps: int = 4  # 1 = nearest half-res tap (see models/features.py)
     lambda_p: float = 5.0
     lambda_d: float = 5.0
     lambda_l: float = 0.1
@@ -131,7 +132,7 @@ def make_track_fn(spec: DecoderSpec, cfg: TrackConfig, compute_dtype=jnp.bfloat1
         w2c_stack = jnp.stack([refer_w2c, w2c], 0)
         code = match_features(
             params, pts.reshape(-1, 3), w2c_stack, enc_feats,
-            cfg.cam, bound, spec, compute_dtype,
+            cfg.cam, bound, spec, compute_dtype, taps=cfg.feature_taps,
         ).reshape(cfg.n_pixels, S, -1)
 
         # truncation mask: zero 2D features outside +-5% of sensor depth
