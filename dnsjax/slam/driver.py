@@ -646,11 +646,18 @@ class DNSSLAM:
                 if (
                     idx % self.keyframe_every == 0 or idx == n - 2
                 ) and idx not in self.keyframes.frame_ids:
-                    self.keyframes.add(
-                        {k: np.asarray(v) for k, v in cur.items() if k != "index"}
-                        | {"index": idx},
-                        self.estimate_c2w[idx],
-                    )
+                    if self.keyframes.count < self.keyframes.capacity:
+                        self.keyframes.add(
+                            {k: np.asarray(v) for k, v in cur.items() if k != "index"}
+                            | {"index": idx},
+                            self.estimate_c2w[idx],
+                        )
+                    else:
+                        print(
+                            f"WARNING: keyframe store full "
+                            f"({self.keyframes.capacity}); frame {idx} not "
+                            f"keyframed — raise mapping.max_keyframes"
+                        )
 
                 if (
                     self.mesh_every > 0
