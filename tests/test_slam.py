@@ -203,3 +203,77 @@ def test_resume_roundtrip(slam_gt_camera, tmp_path):
     # continue the run from frame 6
     slam2.run(start_frame=start)
     assert np.isfinite(slam2.estimate_c2w[:8]).all()
+
+
+def test_checkpoint_partial_load_tolerant(slam_gt_camera):
+    """restore_params keeps template leaves for keys missing from the
+    checkpoint (the reference's tolerant partial restore, checkpoint.py:40-66)."""
+    import os
+
+    from dnsjax.models.checkpoint import load_checkpoint, restore_params
+
+    slam = slam_gt_camera
+    slam.save_checkpoint("partial.npz", 3)
+    ckpt = load_checkpoint(os.path.join(slam.out_dir, "partial.npz"))
+    # drop the coarse-MLP weights from the checkpoint
+    dropped = [k for k in list(ckpt) if k.startswith("params/['coarse']")]
+    assert dropped, list(ckpt)[:5]
+    for k in dropped:
+        del ckpt[k]
+    template = jax.tree_util.tree_map(jnp.zeros_like, slam.params)
+    restored = restore_params(template, ckpt)
+    # table restored from checkpoint, coarse kept from template (zeros)
+    assert float(jnp.abs(restored["table"]).sum()) > 0
+    assert float(jnp.abs(restored["coarse"]["w"][0]).sum()) == 0
+
+
+def test_full_frame_renderer(slam_gt_camera):
+    """make_full_renderer reproduces the trained scene over a whole image."""
+    from dnsjax.geometry.se3 import invert_se3
+    from dnsjax.render.full import make_full_renderer
+
+    slam = slam_gt_camera
+    ds = slam.dataset
+    f = slam._frame_to_device(ds[3])
+    renderer = make_full_renderer(
+        slam.spec,
+        dict(H=ds.H, W=ds.W, fx=ds.fx, fy=ds.fy, cx=ds.cx, cy=ds.cy),
+        slam.map_cfg.n_samples, slam.map_cfg.n_surface, chunk=1024,
+        compute_dtype=slam.compute_dtype,
+    )
+    c2w = f["c2w"]
+    refer_c2w = jnp.stack([c2w, c2w, c2w])
+    feats = slam._encode(slam.enc_params, f["color"][None].repeat(3, 0))
+    color, depth, logits = renderer(
+        slam.params, c2w, f["depth"], f["label"],
+        invert_se3(refer_c2w), feats, slam.bound_j, jax.random.PRNGKey(0),
+    )
+    assert color.shape == (ds.H, ds.W, 3)
+    assert depth.shape == (ds.H, ds.W)
+    d_err = float(jnp.mean(jnp.abs(depth - f["depth"])))
+    assert d_err < 0.2, d_err
+    acc = float(jnp.mean(jnp.argmax(logits, -1) == f["label"]))
+    assert acc > 0.8, acc
+
+
+def test_driver_loose_sync():
+    """sync_method loose maps about twice as often; run must stay finite."""
+    cfg = synthetic_slam_config(
+        H=32, W=40, n_frames=6, n_iters_track=4, n_iters_map=6, n_pixels_map=120
+    )
+    cfg["use_gt_camera"] = True
+    cfg["sync_method"] = "loose"
+    slam = DNSSLAM(cfg, output_dir="/tmp/dnsjax_test_loose")
+    est, gt = slam.run()
+    assert np.isfinite(est).all()
+    # loose policy: keysteps every optimize_every//2 frames -> more map events
+    import json, os
+
+    events = [
+        json.loads(l)
+        for l in open(os.path.join(slam.out_dir, "metrics.jsonl"))
+    ]
+    n_maps = sum(1 for e in events if e["event"] == "map")
+    # loose (every//2 = 1) keysteps at frames 1..5 = 5 map events; strict
+    # over the same run would give only 2 (frames 3 and 5)
+    assert n_maps == 5
