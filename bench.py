@@ -56,7 +56,8 @@ def main():
     # via model.grid config.
     spec = DecoderSpec(
         n_class=N_CLASS,
-        grid=HashGridSpec(4, 8, 16, 16, int(dim_max / 0.02), grad_corners=1),
+        grid=HashGridSpec(4, 8, 16, 16, int(dim_max / 0.02), grad_corners=1,
+                          gather_bf16=True),
         n_bins=16,
     )
     params = init_decoder_params(jax.random.PRNGKey(0), spec)

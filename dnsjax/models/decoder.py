@@ -72,6 +72,7 @@ class DecoderSpec:
             base_resolution=int(m["grid"].get("base_resolution", 16)),
             desired_resolution=int(dim_max / float(m["grid"]["voxel_size"])),
             grad_corners=int(m["grid"].get("grad_corners", 8)),
+            gather_bf16=bool(m["grid"].get("gather_bf16", False)),
         )
         return DecoderSpec(
             n_class=n_class,

@@ -58,6 +58,10 @@ class HashGridSpec:
     base_resolution: int = 16
     desired_resolution: int = 512
     grad_corners: int = 8
+    # Gather feature rows in bfloat16 (~30% faster on TPU; the master table
+    # and its gradients stay float32, only the gathered values are
+    # quantized — tcnn stores its hash tables in fp16 outright).
+    gather_bf16: bool = False
 
     @property
     def table_size(self) -> int:
@@ -164,11 +168,13 @@ def _hash_encode_fwd(table, pts, spec: HashGridSpec):
     p = jnp.clip(pts.reshape(-1, 3), 0.0, 1.0)
     idx, frac = _corner_indices_weights(p, spec)  # (N,L,8), (N,L,3)
     flat = table.reshape(-1, spec.n_features)  # (L*T, F)
+    if spec.gather_bf16:
+        flat = flat.astype(jnp.bfloat16)
     feats = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
         idx.shape + (spec.n_features,)
     )  # (N,L,8,F)
     w = _trilerp_weights(frac)  # (N,L,8)
-    out = jnp.sum(w[..., None] * feats, axis=2)  # (N,L,F)
+    out = jnp.sum(w[..., None] * feats.astype(w.dtype), axis=2)  # (N,L,F)
     out = out.reshape(batch_shape + (spec.out_dim,))
     return out, (pts, idx, frac, feats)
 
@@ -208,7 +214,7 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
     # dw/dfrac_k = prod of the other two dims' factors, signed by corner bit
     c = jnp.asarray(_CORNERS, frac.dtype)  # (8,3)
     f = c * frac[..., None, :] + (1 - c) * (1 - frac[..., None, :])  # (N,L,8,3)
-    gdotf = jnp.sum(feats * g[:, :, None, :], axis=-1)  # (N,L,8)
+    gdotf = jnp.sum(feats.astype(g.dtype) * g[:, :, None, :], axis=-1)  # (N,L,8)
     sign = 2.0 * c - 1.0  # (8,3)
     others = jnp.stack(
         [f[..., 1] * f[..., 2], f[..., 0] * f[..., 2], f[..., 0] * f[..., 1]],

@@ -256,14 +256,14 @@ def test_full_frame_renderer(slam_gt_camera):
     assert acc > 0.8, acc
 
 
-def test_driver_loose_sync():
+def test_driver_loose_sync(tmp_path):
     """sync_method loose maps about twice as often; run must stay finite."""
     cfg = synthetic_slam_config(
         H=32, W=40, n_frames=6, n_iters_track=4, n_iters_map=6, n_pixels_map=120
     )
     cfg["use_gt_camera"] = True
     cfg["sync_method"] = "loose"
-    slam = DNSSLAM(cfg, output_dir="/tmp/dnsjax_test_loose")
+    slam = DNSSLAM(cfg, output_dir=str(tmp_path / "loose"))
     est, gt = slam.run()
     assert np.isfinite(est).all()
     # loose policy: keysteps every optimize_every//2 frames -> more map events
