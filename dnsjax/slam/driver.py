@@ -105,6 +105,7 @@ class DNSSLAM:
             cam_lr=float(tr["cam_lr"]),
             separate_lr=bool(cfg.get("seperate_LR", False)),
             feature_taps=feature_taps,
+            patience=int(tr.get("patience", 0)),
             lambda_p=float(trn["lambda_color"]), lambda_d=float(trn["lambda_depth"]),
             lambda_l=float(trn["lambda_label"]),
         )

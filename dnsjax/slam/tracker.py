@@ -63,6 +63,11 @@ class TrackConfig:
     # tracking.n_pixels instead of decaying. 1.0 = constant lr (default).
     lr_decay: float = 1.0
     feature_taps: int = 4  # 1 = nearest half-res tap (see models/features.py)
+    # Early exit: stop the pose optimization once the best loss hasn't
+    # improved for `patience` iterations (0 = reference behavior, always run
+    # all n_iters). The scan still compiles for n_iters; converged frames
+    # skip the remaining iterations' compute via lax.while_loop.
+    patience: int = 0
     lambda_p: float = 5.0
     lambda_d: float = 5.0
     lambda_l: float = 0.1
@@ -158,9 +163,9 @@ def make_track_fn(spec: DecoderSpec, cfg: TrackConfig, compute_dtype=jnp.bfloat1
         labelf = label.reshape(-1)
         qt0 = (quad0, T0)
         opt_state = opt.init(qt0)
+        keys = jax.random.split(key, cfg.n_iters)
 
-        def step(carry, key):
-            qt, opt_state, best_loss, best_qt, best_pd = carry
+        def one_iter(qt, opt_state, best_loss, best_qt, best_pd, key):
             (loss, pd), g = jax.value_and_grad(loss_fn, has_aux=True)(
                 qt, params, enc_feats, refer_w2c, colorf, depthf, labelf, bound, key
             )
@@ -176,17 +181,49 @@ def make_track_fn(spec: DecoderSpec, cfg: TrackConfig, compute_dtype=jnp.bfloat1
             )
             updates, opt_state = opt.update(g, opt_state)
             qt = optax.apply_updates(qt, updates)
-            return (qt, opt_state, best_loss, best_qt, best_pd), loss
+            return qt, opt_state, best_loss, best_qt, best_pd, loss, better
 
-        keys = jax.random.split(key, cfg.n_iters)
-        init = (qt0, opt_state, jnp.inf, qt0, (jnp.inf, jnp.inf))
-        (qt, _, best_loss, best_qt, best_pd), losses = jax.lax.scan(step, init, keys)
+        if cfg.patience <= 0:
+            def step(carry, key):
+                qt, opt_state, best_loss, best_qt, best_pd = carry
+                qt, opt_state, best_loss, best_qt, best_pd, loss, _ = one_iter(
+                    qt, opt_state, best_loss, best_qt, best_pd, key
+                )
+                return (qt, opt_state, best_loss, best_qt, best_pd), loss
+
+            init = (qt0, opt_state, jnp.inf, qt0, (jnp.inf, jnp.inf))
+            (qt, _, best_loss, best_qt, best_pd), losses = jax.lax.scan(
+                step, init, keys
+            )
+            n_done = jnp.asarray(cfg.n_iters)
+        else:
+            def cond(state):
+                it, since, *_ = state
+                return (it < cfg.n_iters) & (since < cfg.patience)
+
+            def body(state):
+                it, since, qt, opt_state, best_loss, best_qt, best_pd = state
+                qt, opt_state, best_loss, best_qt, best_pd, loss, better = one_iter(
+                    qt, opt_state, best_loss, best_qt, best_pd, keys[it]
+                )
+                since = jnp.where(better, 0, since + 1)
+                return (it + 1, since, qt, opt_state, best_loss, best_qt, best_pd)
+
+            state = (jnp.asarray(0), jnp.asarray(0), qt0, opt_state,
+                     jnp.inf, qt0, (jnp.inf, jnp.inf))
+            it, _, qt, _, best_loss, best_qt, best_pd = jax.lax.while_loop(
+                cond, body, state
+            )
+            losses = jnp.full((cfg.n_iters,), jnp.nan)
+            n_done = it
+
         best_quad, best_T = best_qt
         metrics = {
             "best_loss": best_loss,
             "p_loss": best_pd[0],
             "d_loss": best_pd[1],
             "losses": losses,
+            "n_iters_run": n_done,
         }
         return best_quad, best_T, metrics
 

@@ -277,3 +277,42 @@ def test_driver_loose_sync(tmp_path):
     # loose (every//2 = 1) keysteps at frames 1..5 = 5 map events; strict
     # over the same run would give only 2 (frames 3 and 5)
     assert n_maps == 5
+
+
+def test_tracking_early_exit(slam_gt_camera):
+    """patience > 0 stops early with the same candidate-selection semantics."""
+    from dnsjax.slam.tracker import make_track_fn
+
+    slam = slam_gt_camera
+    ds = slam.dataset
+    f = slam._frame_to_device(ds[4])
+    t7 = np.asarray(tensor_from_camera(f["c2w"]))
+    pert = t7.copy()
+    pert[4:] += np.array([0.02, -0.015, 0.01], np.float32)
+    feats = slam._encode(
+        slam.enc_params, jnp.stack([jnp.asarray(ds[3]["color"]), f["color"]], 0)
+    )
+    refer_w2c = jnp.asarray(np.linalg.inv(ds[3]["c2w"]).astype(np.float32))
+
+    results = {}
+    for pat in (0, 8):
+        tcfg = slam.track_cfg.__class__(
+            **{**slam.track_cfg.__dict__, "n_iters": 30, "patience": pat}
+        )
+        track = make_track_fn(slam.spec, tcfg, slam.compute_dtype)
+        q, T, m = track(
+            slam.params, feats, refer_w2c, f["color"], f["depth"], f["label"],
+            jnp.asarray(pert[:4]), jnp.asarray(pert[4:]),
+            slam.bound_j, jax.random.PRNGKey(9),
+        )
+        results[pat] = (
+            np.concatenate([np.asarray(q), np.asarray(T)]),
+            int(m["n_iters_run"]),
+            float(m["best_loss"]),
+        )
+    assert results[0][1] == 30
+    assert results[8][1] <= 30
+    # early exit must not make the recovered pose dramatically worse
+    err0 = np.abs(t7 - results[0][0]).mean()
+    err8 = np.abs(t7 - results[8][0]).mean()
+    assert err8 < max(err0 * 2.0, 0.02), (err0, err8)
