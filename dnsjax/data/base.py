@@ -108,7 +108,15 @@ class BaseDataset:
             color = cv2.undistort(color, K, self.distortion)
         color = cv2.cvtColor(color, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
-        depth = cv2.imread(self._depth_path(index), cv2.IMREAD_UNCHANGED)
+        dp = self._depth_path(index)
+        if dp.endswith(".exr"):
+            # reference: slam_datasets.py:102-103 + datas/common.py:23-56;
+            # note it applies png_depth_scale to EXR depth too (line 112)
+            from dnsjax.data.exr import read_exr_depth
+
+            depth = read_exr_depth(dp)
+        else:
+            depth = cv2.imread(dp, cv2.IMREAD_UNCHANGED)
         depth = depth.astype(np.float32) / self.png_depth_scale * self.scale
         H, W = depth.shape
         color = cv2.resize(color, (W, H))

@@ -113,13 +113,101 @@ def ms_ssim(gt: np.ndarray, pred: np.ndarray, data_range: float = 1.0) -> float:
     return float(np.prod(vals ** weights))
 
 
+# ---------------------------------------------------------------------------
+# LPIPS (Zhang et al. 2018), AlexNet backbone — counterpart of the reference's
+# ``lpips.LPIPS(net='alex')`` call (reference: eval_2d.py:94-96, 304-305).
+#
+# Architecture: scale inputs, run the AlexNet conv stack, tap the 5 ReLU
+# outputs, channel-unit-normalize each tap, squared difference, 1x1 linear
+# head per tap, spatial mean, sum over taps.
+#
+# Weights come from an .npz at $DNSJAX_LPIPS_NPZ with keys
+#   conv{i}_w (Cout, Cin, kh, kw), conv{i}_b (Cout,)   i in 0..4
+#   lin{i}_w  (Ci,)                                    i in 0..4
+#   shift (3,), scale (3,)
+# Channel counts are read from the arrays, so a small random fixture tests
+# the math without the real 61M-param AlexNet. ``scripts/export_lpips.py``
+# converts the torch ``lpips`` package's checkpoint to this schema.
+# ---------------------------------------------------------------------------
+
+_LPIPS_CACHE: dict = {}
+
+# (stride, padding, followed-by-maxpool) per conv, AlexNet-features layout
+_ALEX_LAYOUT = ((4, 2, True), (1, 2, True), (1, 1, False), (1, 1, False), (1, 1, False))
+
+
+def load_lpips_params(path: str) -> dict:
+    """Load and validate an LPIPS npz (see module comment for the schema)."""
+    raw = np.load(path)
+    params = {"convs": [], "lins": []}
+    for i in range(5):
+        w = np.asarray(raw[f"conv{i}_w"], np.float32)
+        b = np.asarray(raw[f"conv{i}_b"], np.float32)
+        lin = np.asarray(raw[f"lin{i}_w"], np.float32)
+        if w.ndim != 4 or b.shape != (w.shape[0],) or lin.shape != (w.shape[0],):
+            raise ValueError(f"bad LPIPS weight shapes at layer {i}")
+        params["convs"].append((w, b))
+        params["lins"].append(np.maximum(lin, 0.0))  # heads are non-negative
+    params["shift"] = np.asarray(raw["shift"], np.float32).reshape(1, 3, 1, 1)
+    params["scale"] = np.asarray(raw["scale"], np.float32).reshape(1, 3, 1, 1)
+    return params
+
+
+def _lpips_distance(params: dict, a: np.ndarray, b: np.ndarray) -> float:
+    """LPIPS distance between two NCHW float32 images in [-1, 1]."""
+    import jax
+    import jax.numpy as jnp
+
+    def maxpool_3x3_s2(x):
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2), "VALID"
+        )
+
+    def taps(x):
+        x = (x - params["shift"]) / params["scale"]
+        outs = []
+        for (w, bias), (stride, pad, pool) in zip(params["convs"], _ALEX_LAYOUT):
+            x = jax.lax.conv_general_dilated(
+                x, jnp.asarray(w), (stride, stride), [(pad, pad)] * 2,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            ) + jnp.asarray(bias)[None, :, None, None]
+            x = jax.nn.relu(x)
+            outs.append(x)
+            if pool:
+                x = maxpool_3x3_s2(x)
+        return outs
+
+    def dist(a, b):
+        total = jnp.asarray(0.0)
+        for fa, fb, lin in zip(taps(a), taps(b), params["lins"]):
+            na = fa * jax.lax.rsqrt(jnp.sum(fa**2, 1, keepdims=True) + 1e-10)
+            nb = fb * jax.lax.rsqrt(jnp.sum(fb**2, 1, keepdims=True) + 1e-10)
+            d2 = (na - nb) ** 2
+            total += jnp.mean(jnp.sum(d2 * jnp.asarray(lin)[None, :, None, None], 1))
+        return total
+
+    return float(jax.jit(dist)(jnp.asarray(a), jnp.asarray(b)))
+
+
 def lpips(gt: np.ndarray, pred: np.ndarray) -> Optional[float]:
-    """LPIPS(alex). Needs pretrained weights (zero-egress environment):
-    set DNSJAX_LPIPS_NPZ to enable; otherwise returns None."""
+    """LPIPS(alex) between two HWC images in [0, 1].
+
+    Weights (zero-egress environment) come from $DNSJAX_LPIPS_NPZ; returns
+    None when unset so callers can skip the metric, matching eval_2d's
+    optional reporting."""
     import os
 
-    if not os.environ.get("DNSJAX_LPIPS_NPZ"):
+    path = os.environ.get("DNSJAX_LPIPS_NPZ")
+    if not path:
         return None
-    raise NotImplementedError(
-        "LPIPS weight loading not implemented yet; provide weights and extend"
-    )
+    if path not in _LPIPS_CACHE:
+        _LPIPS_CACHE[path] = load_lpips_params(path)
+    params = _LPIPS_CACHE[path]
+
+    def to_nchw(x):
+        x = np.asarray(x, np.float32)
+        if x.ndim == 2:
+            x = np.repeat(x[..., None], 3, -1)
+        return (x * 2.0 - 1.0).transpose(2, 0, 1)[None]
+
+    return _lpips_distance(params, to_nchw(gt), to_nchw(pred))

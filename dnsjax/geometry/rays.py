@@ -62,12 +62,15 @@ def ray_box_far(
     """Distance along each ray to its exit from the axis-aligned scene bound.
 
     ``bound`` is (3, 2) [min, max] per axis. Matches the reference formula
-    ``min_axis(max_plane((bound - o) / d))`` (reference: tracking.py:148-156);
-    no epsilon guard on d=0 is needed for real camera rays (z-component -1).
-    Returns (…,) far distances (un-padded; callers add +0.01 as the reference
-    does).
+    ``min_axis(max_plane((bound - o) / d))`` (reference: tracking.py:148-156),
+    with a sign-preserving epsilon on near-zero direction components so
+    axis-aligned rays (synthetic scenes, dense mesher ray grids) cannot
+    produce NaNs from 0/0. Returns (…,) far distances (un-padded; callers
+    add +0.01 as the reference does).
     """
-    t = (bound[None, :, :] - rays_o[..., :, None]) / rays_d[..., :, None]
+    d = rays_d[..., :, None]
+    d = jnp.where(jnp.abs(d) < 1e-9, jnp.where(d < 0, -1e-9, 1e-9), d)
+    t = (bound[None, :, :] - rays_o[..., :, None]) / d
     return jnp.min(jnp.max(t, axis=-1), axis=-1)
 
 

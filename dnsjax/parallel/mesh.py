@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from dnsjax.models.decoder import DecoderSpec
 from dnsjax.slam import mapper as _mapper
@@ -98,6 +98,6 @@ def make_map_fn_dp(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

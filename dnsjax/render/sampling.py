@@ -48,7 +48,10 @@ def sample_along_rays(
     if n_surface > 0:
         # --- surface samples (shared t across batch, one pinned midpoint) ---
         t_surf = jax.random.uniform(k_surf, (n_surface,))
-        t_surf = t_surf.at[n_surface // 2 + 1].set(0.5)
+        # pin one midpoint sample (reference: common.py:572-574); its index
+        # n//2+1 is out of bounds for n_surface == 1, so clamp (a .at[] with
+        # an OOB index silently drops the write)
+        t_surf = t_surf.at[min(n_surface // 2 + 1, n_surface - 1)].set(0.5)
         z_surf_valid = gt_depth[:, None] * (0.95 + 0.1 * t_surf[None, :])
 
         t_zero = jax.random.uniform(k_zero, (n_surface,))

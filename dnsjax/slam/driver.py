@@ -246,6 +246,11 @@ class DNSSLAM:
             cand = [int(i) for i in order if scores[i] > 0.05]
             picked = list(self.rng.permutation(cand)[:num])
         if K > 1:
+            # dedup, always include the latest keyframe, and drop keyframe 0
+            # — the reference does exactly this (mapping.py:367-370:
+            # ``target_frame_idx = [x for x in target_frame_idx if x != 0]``);
+            # separately, the OLDEST frame of the assembled window is
+            # pose-frozen via pose_train (reference: mapping.py:455-459)
             picked = sorted({int(x) for x in picked + [K - 1]} - {0})
         return picked  # current frame appended by caller as -1
 

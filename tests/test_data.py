@@ -59,3 +59,106 @@ def test_synthetic_deterministic():
     b = SyntheticDataset(cfg)[1]
     np.testing.assert_array_equal(a["color"], b["color"])
     np.testing.assert_array_equal(a["depth"], b["depth"])
+
+
+# ---------------------------------------------------------------------------
+# EXR depth (reference: datas/common.py:23-56 readEXR_onlydepth)
+# ---------------------------------------------------------------------------
+
+def test_exr_roundtrip_zip(tmp_path):
+    from dnsjax.data.exr import read_exr_depth, write_exr
+
+    r = np.random.default_rng(0)
+    # >16 rows exercises multiple ZIP chunks; smooth data compresses
+    d = (r.uniform(0.5, 5.0, size=(40, 33)).astype(np.float32)).cumsum(1)
+    p = str(tmp_path / "d.exr")
+    write_exr(p, d)
+    back = read_exr_depth(p)
+    np.testing.assert_array_equal(back, d)
+
+
+def test_exr_incompressible_chunks_stored_raw(tmp_path):
+    from dnsjax.data.exr import read_exr_depth, write_exr
+
+    r = np.random.default_rng(1)
+    d = r.standard_normal((18, 7)).astype(np.float32)  # noise: zlib can't win
+    p = str(tmp_path / "noise.exr")
+    write_exr(p, d)
+    np.testing.assert_array_equal(read_exr_depth(p), d)
+
+
+def test_exr_half_and_uncompressed(tmp_path):
+    """Hand-built NO-compression HALF file exercises the other decode paths."""
+    import struct
+    from dnsjax.data.exr import read_exr_depth
+
+    H, W = 3, 5
+    d = np.arange(H * W, dtype=np.float16).reshape(H, W)
+
+    def attr(name, atype, data):
+        return name.encode() + b"\0" + atype.encode() + b"\0" + struct.pack("<i", len(data)) + data
+
+    chlist = b"Z\0" + struct.pack("<iB3xii", 1, 0, 1, 1) + b"\0"
+    box = struct.pack("<4i", 0, 0, W - 1, H - 1)
+    header = b"".join([
+        struct.pack("<iI", 0x01312F76, 2),
+        attr("channels", "chlist", chlist),
+        attr("compression", "compression", b"\x00"),
+        attr("dataWindow", "box2i", box),
+        attr("displayWindow", "box2i", box),
+        attr("lineOrder", "lineOrder", b"\x00"),
+        attr("pixelAspectRatio", "float", struct.pack("<f", 1.0)),
+        attr("screenWindowCenter", "v2f", struct.pack("<2f", 0, 0)),
+        attr("screenWindowWidth", "float", struct.pack("<f", 1.0)),
+        b"\0",
+    ])
+    chunks = [struct.pack("<ii", y, W * 2) + d[y].tobytes() for y in range(H)]
+    base = len(header) + 8 * len(chunks)
+    offs, pos = [], base
+    for c in chunks:
+        offs.append(struct.pack("<Q", pos))
+        pos += len(c)
+    p = str(tmp_path / "half.exr")
+    with open(p, "wb") as f:
+        f.write(header + b"".join(offs) + b"".join(chunks))
+    np.testing.assert_array_equal(read_exr_depth(p), d.astype(np.float32))
+
+
+def test_dataset_reads_exr_depth(tmp_path, synthetic_dataset_dir=None):
+    """BaseDataset subclass consuming .exr depth frames end to end."""
+    import cv2
+    from dnsjax.data.base import BaseDataset
+    from dnsjax.data.exr import write_exr
+
+    H, W = 12, 16
+    r = np.random.default_rng(3)
+    color = (r.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+    depth = r.uniform(1.0, 3.0, size=(H, W)).astype(np.float32)
+    cv2.imwrite(str(tmp_path / "c0.png"), color)
+    write_exr(str(tmp_path / "d0.exr"), depth)
+
+    class ExrSet(BaseDataset):
+        semantic = False
+
+        def __init__(self):
+            cfg = {
+                "cam": {"H": H, "W": W, "fx": 10.0, "fy": 10.0,
+                        "cx": W / 2, "cy": H / 2,
+                        "png_depth_scale": 1.0, "crop_edge": 0},
+            }
+            super().__init__(cfg, str(tmp_path), scale=1.0)
+            self.n_img = 1
+            self.poses = [np.eye(4, dtype=np.float32)]
+
+        def _color_path(self, i):
+            return str(tmp_path / "c0.png")
+
+        def _depth_path(self, i):
+            return str(tmp_path / "d0.exr")
+
+        def _label_path(self, i):
+            raise NotImplementedError
+
+    ds = ExrSet()
+    item = ds[0]
+    np.testing.assert_allclose(item["depth"], depth, rtol=1e-6)

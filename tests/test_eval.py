@@ -138,3 +138,97 @@ def test_sample_surface_on_mesh():
     assert np.allclose(pts[:, 2], 0)
     assert (pts[:, 0] >= -1e-9).all() and (pts[:, 1] >= -1e-9).all()
     assert (pts[:, 0] + pts[:, 1] <= 1 + 1e-9).all()
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (tiny random-weight fixture; validates the conv/normalize/head math
+# against a direct numpy oracle, plus metric properties)
+# ---------------------------------------------------------------------------
+
+def _tiny_lpips_npz(path):
+    """Deterministic small-channel AlexNet-shaped LPIPS weights."""
+    r = np.random.default_rng(7)
+    chans = [(3, 8, 11), (8, 12, 5), (12, 16, 3), (16, 16, 3), (16, 16, 3)]
+    out = {}
+    for i, (cin, cout, k) in enumerate(chans):
+        out[f"conv{i}_w"] = r.normal(scale=0.1, size=(cout, cin, k, k)).astype(np.float32)
+        out[f"conv{i}_b"] = r.normal(scale=0.1, size=(cout,)).astype(np.float32)
+        out[f"lin{i}_w"] = np.abs(r.normal(size=(cout,))).astype(np.float32)
+    out["shift"] = np.array([-0.030, -0.088, -0.188], np.float32)
+    out["scale"] = np.array([0.458, 0.448, 0.450], np.float32)
+    np.savez(path, **out)
+    return out
+
+
+def _np_conv(x, w, b, stride, pad):
+    """Direct NCHW conv oracle via sliding windows."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    x = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    win = sliding_window_view(x, (w.shape[1], w.shape[2], w.shape[3]), axis=(1, 2, 3))
+    win = win[:, 0, ::stride, ::stride]  # (N, Ho, Wo, Cin, kh, kw)
+    return np.einsum("nhwikl,oikl->nohw", win, w) + b[None, :, None, None]
+
+
+def _np_lpips(weights, a, b):
+    layout = [(4, 2, True), (1, 2, True), (1, 1, False), (1, 1, False), (1, 1, False)]
+
+    def pool(x):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        win = sliding_window_view(x, (3, 3), axis=(2, 3))[:, :, ::2, ::2]
+        return win.max((-1, -2))
+
+    def taps(x):
+        x = (x - weights["shift"].reshape(1, 3, 1, 1)) / weights["scale"].reshape(1, 3, 1, 1)
+        outs = []
+        for i, (stride, pad, do_pool) in enumerate(layout):
+            x = np.maximum(_np_conv(x, weights[f"conv{i}_w"], weights[f"conv{i}_b"], stride, pad), 0)
+            outs.append(x)
+            if do_pool:
+                x = pool(x)
+        return outs
+
+    total = 0.0
+    for i, (fa, fb) in enumerate(zip(taps(a), taps(b))):
+        na = fa / np.sqrt((fa**2).sum(1, keepdims=True) + 1e-10)
+        nb = fb / np.sqrt((fb**2).sum(1, keepdims=True) + 1e-10)
+        lin = np.maximum(weights[f"lin{i}_w"], 0)
+        total += ((na - nb) ** 2 * lin[None, :, None, None]).sum(1).mean()
+    return total
+
+
+def test_lpips_matches_numpy_oracle(tmp_path, monkeypatch):
+    from dnsjax.eval.render_metrics import lpips
+
+    path = str(tmp_path / "tiny_lpips.npz")
+    weights = _tiny_lpips_npz(path)
+    monkeypatch.setenv("DNSJAX_LPIPS_NPZ", path)
+    r = np.random.default_rng(3)
+    a = r.uniform(size=(64, 64, 3)).astype(np.float32)
+    b = np.clip(a + r.normal(scale=0.1, size=a.shape).astype(np.float32), 0, 1)
+    got = lpips(a, b)
+    want = _np_lpips(weights, (a * 2 - 1).transpose(2, 0, 1)[None], (b * 2 - 1).transpose(2, 0, 1)[None])
+    assert got == pytest.approx(want, rel=1e-3)
+
+
+def test_lpips_properties(tmp_path, monkeypatch):
+    from dnsjax.eval.render_metrics import lpips
+
+    path = str(tmp_path / "tiny_lpips.npz")
+    _tiny_lpips_npz(path)
+    monkeypatch.setenv("DNSJAX_LPIPS_NPZ", path)
+    r = np.random.default_rng(5)
+    a = r.uniform(size=(48, 48, 3)).astype(np.float32)
+    small = np.clip(a + r.normal(scale=0.02, size=a.shape), 0, 1).astype(np.float32)
+    big = np.clip(a + r.normal(scale=0.3, size=a.shape), 0, 1).astype(np.float32)
+    assert lpips(a, a) == pytest.approx(0.0, abs=1e-6)
+    assert lpips(a, big) > lpips(a, small) > 0
+    assert lpips(a, big) == pytest.approx(lpips(big, a), rel=1e-5)
+
+
+def test_lpips_disabled_without_weights(monkeypatch):
+    from dnsjax.eval.render_metrics import lpips
+
+    monkeypatch.delenv("DNSJAX_LPIPS_NPZ", raising=False)
+    assert lpips(np.zeros((8, 8, 3)), np.ones((8, 8, 3))) is None
