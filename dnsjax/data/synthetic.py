@@ -39,7 +39,33 @@ class SyntheticDataset:
             (np.array([-0.9, 0.2, 0.6]), 0.4, np.array([0.2, 0.4, 0.9])),
             (np.array([0.1, 0.9, 0.2]), 0.35, np.array([0.2, 0.8, 0.3])),
         ]
-        self.n_class = 1 + len(self.spheres)
+
+        # texture="rich": the TPU-profile quality gate scene — procedural
+        # multi-octave wall texture, 24 per-panel wall classes (+1 per
+        # object), extra spheres; used by scripts/ab_quality.py to validate
+        # encoding/precision deviations at realistic texture frequency.
+        self.texture = str(syn.get("texture", "flat"))
+        if self.texture == "rich":
+            self.spheres = self.spheres + [
+                (np.array([-0.5, -0.8, -0.6]), 0.3, np.array([0.85, 0.7, 0.2])),
+                (np.array([1.1, 0.6, 0.9]), 0.35, np.array([0.6, 0.25, 0.8])),
+                (np.array([-1.2, -0.2, 1.1]), 0.25, np.array([0.2, 0.75, 0.75])),
+            ]
+            r = np.random.default_rng(self.seed + 17)
+            n_waves = 10
+            dirs = r.normal(size=(n_waves, 3))
+            dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+            freqs = np.exp(r.uniform(np.log(2.0), np.log(24.0), n_waves))
+            self._tex_waves = (
+                dirs * freqs[:, None],
+                r.uniform(0, 2 * np.pi, n_waves),
+                0.5 / np.sqrt(np.arange(1, n_waves + 1)),
+            )
+            self.n_wall_class = 24  # 6 walls x 2x2 panels
+        else:
+            self.n_wall_class = 1
+
+        self.n_class = self.n_wall_class + len(self.spheres)
         self.label2class_dict = {i: i for i in range(self.n_class)}
         self.class2label_dict = {i: i for i in range(self.n_class)}
 
@@ -105,6 +131,23 @@ class SyntheticDataset:
         t_hit = t_exit
         color = base + checker[:, None]
 
+        if self.texture == "rich":
+            # multi-octave directional waves -> high-frequency wallpaper
+            kvecs, phases, amps = self._tex_waves
+            waves = np.sin(hit @ kvecs.T * (2 * np.pi / h) + phases)  # (n, W)
+            tex = waves @ amps / amps.sum()  # in ~[-1, 1]
+            color = np.clip(
+                base * (0.75 + 0.35 * tex[:, None]) + checker[:, None] * 0.5,
+                0.02, 0.98,
+            )
+            # wall label: axis (3) x side (2) x 2x2 panel of the wall plane
+            side = (np.take_along_axis(hit, axis[:, None], 1)[:, 0] > 0).astype(np.int64)
+            uv_ax = np.stack([(axis + 1) % 3, (axis + 2) % 3], -1)
+            uv = np.take_along_axis(hit, uv_ax, 1)
+            pu = (uv[:, 0] > 0).astype(np.int64)
+            pv = (uv[:, 1] > 0).astype(np.int64)
+            label = ((axis * 2 + side) * 4 + pu * 2 + pv).astype(np.int32)
+
         # spheres (inf t for misses flows through shading harmlessly)
         err = np.errstate(invalid="ignore", over="ignore")
         err.__enter__()
@@ -122,7 +165,7 @@ class SyntheticDataset:
             nrm = (p - cen) / rad
             shade = 0.6 + 0.4 * np.clip(nrm[:, 1] * 0.5 + nrm[:, 2] * 0.5, -1, 1)
             color = np.where(closer[:, None], col * shade[:, None], color)
-            label = np.where(closer, k + 1, label)
+            label = np.where(closer, self.n_wall_class + k, label)
         err.__exit__(None, None, None)
 
         # depth is the ray-parameter (z_vals convention: t along unnormalized

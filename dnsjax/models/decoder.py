@@ -73,6 +73,8 @@ class DecoderSpec:
             desired_resolution=int(dim_max / float(m["grid"]["voxel_size"])),
             grad_corners=int(m["grid"].get("grad_corners", 8)),
             gather_bf16=bool(m["grid"].get("gather_bf16", False)),
+            interp=str(m["grid"].get("interp", "trilinear")),
+            grad_levels=int(m["grid"].get("grad_levels", 0)),
         )
         return DecoderSpec(
             n_class=n_class,

@@ -62,6 +62,22 @@ class HashGridSpec:
     # and its gradients stay float32, only the gathered values are
     # quantized — tcnn stores its hash tables in fp16 outright).
     gather_bf16: bool = False
+    # "trilinear" (8 corners, reference semantics) or "tet" (4 corners):
+    # Kuhn-simplex barycentric interpolation over the tetrahedron containing
+    # the point. Both are continuous piecewise-linear-per-cell (C0) fields;
+    # tet halves the gather/scatter row count, which is the measured cost
+    # driver of the encoding on TPU (XLA gathers are per-row-bound, see
+    # scripts/profile_map.py). tcnn has no equivalent; quality is gated by
+    # scripts/ab_quality.py on the textured synthetic scene.
+    interp: str = "trilinear"
+    # 0 = scatter table gradients for every level; 1 = sample ONE level per
+    # point uniformly and scale by n_levels (unbiased, n_levels x fewer
+    # scatter rows; composes with grad_corners=1).
+    grad_levels: int = 0
+
+    @property
+    def n_corners(self) -> int:
+        return 4 if self.interp == "tet" else 8
 
     @property
     def table_size(self) -> int:
@@ -118,21 +134,54 @@ def _level_indices(ix: jnp.ndarray, res: int, table_size: int) -> jnp.ndarray:
     return idx
 
 
+def _tet_offsets_weights(f: jnp.ndarray):
+    """Kuhn-simplex corners of the cell containing frac ``f`` (N, 3).
+
+    Sort the frac coords descending (ties by axis index); the containing
+    tetrahedron walks from corner (0,0,0) to (1,1,1) adding unit steps in
+    sorted-axis order. Returns (offsets (N,4,3) int32, barycentric weights
+    (N,4), rank (N,3) int32 with 0 = largest coord).
+    """
+    j = jnp.arange(3)
+    a, b = f[:, :, None], f[:, None, :]
+    outranks = (a > b) | ((a == b) & (j[:, None] < j[None, :]))
+    rank = jnp.sum(outranks, axis=1).astype(jnp.int32)  # (N,3)
+    i4 = jnp.arange(4)
+    off = (rank[:, None, :] < i4[None, :, None]).astype(jnp.int32)  # (N,4,3)
+    f1 = jnp.max(f, -1)
+    f3 = jnp.min(f, -1)
+    f2 = jnp.sum(f, -1) - f1 - f3
+    w = jnp.stack([1.0 - f1, f1 - f2, f2 - f3, f3], -1)
+    return off, w, rank
+
+
 def _corner_indices_weights(p: jnp.ndarray, spec: HashGridSpec):
-    """(N,3) in [0,1] -> (idx (N,L,8) flat into (L*T), frac (N,L,3))."""
+    """(N,3) in [0,1] -> (idx (N,L,C) flat into (L*T), w (N,L,C), aux).
+
+    aux is the residual the position-gradient needs: frac (N,L,3) for
+    trilinear, rank (N,L,3) for tet.
+    """
     resolutions = spec.level_resolutions()
     corners = jnp.asarray(_CORNERS)
-    idxs, fracs = [], []
+    idxs, ws, auxs = [], [], []
     for l in range(spec.n_levels):
         res = int(resolutions[l])
         x = p * res
         i0 = jnp.minimum(jnp.floor(x).astype(jnp.int32), res - 1)
         frac = x - i0.astype(x.dtype)
-        ix = i0[:, None, :] + corners[None, :, :]  # (N, 8, 3)
-        idx = _level_indices(ix, res, spec.table_size)  # (N, 8)
+        if spec.interp == "tet":
+            off, w, rank = _tet_offsets_weights(frac)
+            ix = i0[:, None, :] + off  # (N, 4, 3)
+            aux = rank
+        else:
+            ix = i0[:, None, :] + corners[None, :, :]  # (N, 8, 3)
+            w = _trilerp_weights(frac)
+            aux = frac
+        idx = _level_indices(ix, res, spec.table_size)  # (N, C)
         idxs.append(idx + l * spec.table_size)
-        fracs.append(frac)
-    return jnp.stack(idxs, 1), jnp.stack(fracs, 1)
+        ws.append(w)
+        auxs.append(aux)
+    return jnp.stack(idxs, 1), jnp.stack(ws, 1), jnp.stack(auxs, 1)
 
 
 def _trilerp_weights(frac: jnp.ndarray) -> jnp.ndarray:
@@ -166,62 +215,102 @@ def hash_encode(table: jnp.ndarray, pts: jnp.ndarray, spec: HashGridSpec) -> jnp
 def _hash_encode_fwd(table, pts, spec: HashGridSpec):
     batch_shape = pts.shape[:-1]
     p = jnp.clip(pts.reshape(-1, 3), 0.0, 1.0)
-    idx, frac = _corner_indices_weights(p, spec)  # (N,L,8), (N,L,3)
+    idx, w, aux = _corner_indices_weights(p, spec)  # (N,L,C), (N,L,C), (N,L,3)
     flat = table.reshape(-1, spec.n_features)  # (L*T, F)
     if spec.gather_bf16:
         flat = flat.astype(jnp.bfloat16)
     feats = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
         idx.shape + (spec.n_features,)
-    )  # (N,L,8,F)
-    w = _trilerp_weights(frac)  # (N,L,8)
+    )  # (N,L,C,F)
     out = jnp.sum(w[..., None] * feats.astype(w.dtype), axis=2)  # (N,L,F)
     out = out.reshape(batch_shape + (spec.out_dim,))
-    return out, (pts, idx, frac, feats)
+    return out, (pts, idx, w, aux, feats)
+
+
+def _stateless_uniform(a: jnp.ndarray, b: jnp.ndarray, salt: int) -> jnp.ndarray:
+    """[0,1) uniform from two int arrays (cell-hash driven; points resample
+    every iteration, so this is fresh noise per optimization step)."""
+    bits = (a.astype(jnp.uint32) * np.uint32(0x9E3779B9)) ^ (
+        b.astype(jnp.uint32) * np.uint32(0x85EBCA6B + 2 * salt)
+    )
+    return (bits >> np.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
 
 
 def _hash_encode_bwd(spec: HashGridSpec, res, g):
-    pts, idx, frac, feats = res
+    pts, idx, w, aux, feats = res
     batch_shape = pts.shape[:-1]
     n = idx.shape[0]
+    C = spec.n_corners
     g = g.reshape(n, spec.n_levels, spec.n_features)  # (N,L,F)
-    w = _trilerp_weights(frac)  # (N,L,8)
 
-    if spec.grad_corners >= 8:
-        # exact transpose: scatter all 8 corners
-        contrib = (w[..., None] * g[:, :, None, :]).reshape(-1, spec.n_features)
-        scatter_idx = idx.reshape(-1)
+    # ---- table gradient: flat scatter-add, optionally stochastic ----------
+    # NOTE on implementation style: everything below is pure elementwise math
+    # (one-hot select-sums instead of take_along_axis) — TPU gathers cost
+    # ~2.4-5 ns per ROW regardless of width, so selecting one of C corners
+    # per point via gather costs as much as re-reading the table, while a
+    # one-hot multiply-sum over the C axis fuses into the surrounding loop.
+    if spec.grad_corners >= C:
+        contrib = w[..., None] * g[:, :, None, :]  # (N,L,C,F)
+        scatter_idx = idx  # (N,L,C)
     else:
-        # stochastic corner(s): inverse-CDF sample corner ~ trilerp weight.
-        # Stateless uniform from the cell hash itself (changes whenever the
-        # point moves a cell; ray pixels resample every iteration).
-        cdf = jnp.cumsum(w, axis=-1)  # (N,L,8), last == 1
-        bits = (idx[..., 0].astype(jnp.uint32) * np.uint32(0x9E3779B9)) ^ (
-            idx[..., 7].astype(jnp.uint32) * np.uint32(0x85EBCA6B)
-        )
-        u = (bits >> np.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
-        c_star = jnp.sum((cdf < u[..., None]).astype(jnp.int32), -1)  # (N,L)
-        c_star = jnp.clip(c_star, 0, 7)
-        picked = jnp.take_along_axis(idx, c_star[..., None], axis=-1)[..., 0]
-        contrib = g.reshape(-1, spec.n_features)
-        scatter_idx = picked.reshape(-1)
+        # stochastic corner: inverse-CDF sample corner ~ interp weight;
+        # unbiased (E[g] = sum_c w_c g) with C x fewer scatter rows.
+        cdf = jnp.cumsum(w, axis=-1)  # (N,L,C), last == 1
+        u = _stateless_uniform(idx[..., 0], idx[..., -1], 0)
+        c_star = jnp.clip(
+            jnp.sum((cdf < u[..., None]).astype(jnp.int32), -1), 0, C - 1
+        )  # (N,L)
+        one_hot = (jnp.arange(C) == c_star[..., None]).astype(idx.dtype)
+        contrib = g  # (N,L,F)
+        scatter_idx = jnp.sum(idx * one_hot, axis=-1)  # (N,L)
 
-    flat_grad = jnp.zeros(
-        (spec.n_levels * spec.table_size, spec.n_features), g.dtype
-    ).at[scatter_idx].add(contrib)
+    if spec.grad_levels == 1 and spec.n_levels > 1:
+        # stochastic level: keep ONE level per point, scaled by L (unbiased)
+        u2 = _stateless_uniform(idx[:, 0, 0], idx[:, -1, -1], 1)
+        l_star = jnp.minimum(
+            (u2 * spec.n_levels).astype(jnp.int32), spec.n_levels - 1
+        )  # (N,)
+        lvl_hot = jnp.arange(spec.n_levels) == l_star[:, None]  # (N,L)
+        lsel = lvl_hot.reshape((n, spec.n_levels) + (1,) * (contrib.ndim - 2))
+        contrib = jnp.sum(
+            contrib * lsel.astype(contrib.dtype), axis=1
+        ) * spec.n_levels
+        isel = lvl_hot.reshape((n, spec.n_levels) + (1,) * (scatter_idx.ndim - 2))
+        scatter_idx = jnp.sum(scatter_idx * isel.astype(scatter_idx.dtype), axis=1)
+
+    flat_grad = (
+        jnp.zeros((spec.n_levels * spec.table_size, spec.n_features), g.dtype)
+        .at[scatter_idx.reshape(-1)]
+        .add(contrib.reshape(-1, spec.n_features))
+    )
     d_table = flat_grad.reshape(spec.n_levels, spec.table_size, spec.n_features)
 
-    # position gradient through the trilerp weights
-    # dw/dfrac_k = prod of the other two dims' factors, signed by corner bit
-    c = jnp.asarray(_CORNERS, frac.dtype)  # (8,3)
-    f = c * frac[..., None, :] + (1 - c) * (1 - frac[..., None, :])  # (N,L,8,3)
-    gdotf = jnp.sum(feats.astype(g.dtype) * g[:, :, None, :], axis=-1)  # (N,L,8)
-    sign = 2.0 * c - 1.0  # (8,3)
-    others = jnp.stack(
-        [f[..., 1] * f[..., 2], f[..., 0] * f[..., 2], f[..., 0] * f[..., 1]],
-        axis=-1,
-    )  # (N,L,8,3)
-    dfrac = jnp.sum(gdotf[..., None] * sign * others, axis=2)  # (N,L,3)
-    resolutions = jnp.asarray(spec.level_resolutions(), frac.dtype)
+    # ---- position gradient -------------------------------------------------
+    gdotf = jnp.sum(feats.astype(g.dtype) * g[:, :, None, :], axis=-1)  # (N,L,C)
+    if spec.interp == "tet":
+        # Out = (1-f_(1))F0 + (f_(1)-f_(2))F1 + (f_(2)-f_(3))F2 + f_(3)F3
+        # => dOut/df_k = gdotf[rank_k + 1] - gdotf[rank_k]
+        rank = aux  # (N,L,3) int32
+        i4 = jnp.arange(4)
+        sel = (
+            (rank[..., None] + 1 == i4).astype(g.dtype)
+            - (rank[..., None] == i4).astype(g.dtype)
+        )  # (N,L,3,4)
+        dfrac = jnp.sum(sel * gdotf[:, :, None, :], axis=-1)  # (N,L,3)
+        fdtype = jnp.float32
+    else:
+        # dw/dfrac_k = prod of the other two dims' factors, signed by bit k
+        frac = aux
+        c = jnp.asarray(_CORNERS, frac.dtype)  # (8,3)
+        f = c * frac[..., None, :] + (1 - c) * (1 - frac[..., None, :])
+        sign = 2.0 * c - 1.0  # (8,3)
+        others = jnp.stack(
+            [f[..., 1] * f[..., 2], f[..., 0] * f[..., 2], f[..., 0] * f[..., 1]],
+            axis=-1,
+        )  # (N,L,8,3)
+        dfrac = jnp.sum(gdotf[..., None] * sign * others, axis=2)  # (N,L,3)
+        fdtype = frac.dtype
+    resolutions = jnp.asarray(spec.level_resolutions(), fdtype)
     d_p = jnp.sum(dfrac * resolutions[None, :, None], axis=1)  # (N,3)
     # clip boundary: zero gradient outside [0,1]
     p = pts.reshape(-1, 3)
@@ -233,7 +322,7 @@ hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
 
 
 def hash_encode_ref(table: np.ndarray, pts: np.ndarray, spec: HashGridSpec) -> np.ndarray:
-    """Pure-numpy oracle of hash_encode (for tests)."""
+    """Pure-numpy oracle of hash_encode (for tests; both interp modes)."""
     p = np.clip(pts.reshape(-1, 3), 0.0, 1.0)
     resolutions = spec.level_resolutions()
     outs = []
@@ -242,7 +331,29 @@ def hash_encode_ref(table: np.ndarray, pts: np.ndarray, spec: HashGridSpec) -> n
         x = p * res
         i0 = np.minimum(np.floor(x).astype(np.int64), res - 1)
         frac = x - i0
-        ix = i0[:, None, :] + _CORNERS[None, :, :]
+        if spec.interp == "tet":
+            # rank by descending frac, ties by axis index; corner i steps
+            # along the top-i axes (independent reimplementation of the
+            # Kuhn-simplex walk for verification)
+            n = p.shape[0]
+            off = np.zeros((n, 4, 3), np.int64)
+            w = np.zeros((n, 4))
+            for r in range(n):
+                order = sorted(range(3), key=lambda k: (-frac[r, k], k))
+                fs = frac[r, order]
+                w[r] = [1 - fs[0], fs[0] - fs[1], fs[1] - fs[2], fs[2]]
+                step = np.zeros(3, np.int64)
+                for i, ax in enumerate(order):
+                    step = step.copy()
+                    step[ax] = 1
+                    off[r, i + 1] = step
+            ix = i0[:, None, :] + off
+        else:
+            ix = i0[:, None, :] + _CORNERS[None, :, :]
+            c = _CORNERS.astype(np.float64)
+            w = np.prod(
+                c[None] * frac[:, None] + (1 - c[None]) * (1 - frac[:, None]), -1
+            )
         n_verts = res + 1
         if n_verts**3 <= spec.table_size:
             idx = ix[..., 0] + n_verts * (ix[..., 1] + n_verts * ix[..., 2])
@@ -254,7 +365,5 @@ def hash_encode_ref(table: np.ndarray, pts: np.ndarray, spec: HashGridSpec) -> n
                 ^ ux[..., 2] * np.uint32(_PRIMES[2])
             ) % np.uint32(spec.table_size)
         feats = table[l][idx]
-        c = _CORNERS.astype(np.float64)
-        w = np.prod(c[None] * frac[:, None] + (1 - c[None]) * (1 - frac[:, None]), -1)
         outs.append((w[..., None] * feats).sum(1))
     return np.concatenate(outs, -1).astype(np.float32)

@@ -266,15 +266,39 @@ class DNSSLAM:
         return [first, second]
 
     def _build_window(self, targets: List[int], cur, cur_c2w):
-        """Gather device tensors for one mapping window."""
+        """Gather device tensors for one mapping window.
+
+        The window is PADDED to a fixed ``n_joint_optimize_frames`` slots so
+        exactly one keystep program compiles per n_iters value (window size
+        otherwise varies with keyframe count and each size costs a 30-70 s
+        XLA compile). Padding slots duplicate real frames ROUND-ROBIN and
+        render through the real slot's live pose (``pose_src``), so an
+        underfull window simply gives each real frame a larger share of the
+        fixed ray budget — approximating the reference's even n_pixels split
+        over its variable-size window (mapping.py:497) — and pose gradients
+        flow to the one real variable. Layout: [oldest, <pads>, rest..., cur].
+        """
         kf = self.keyframes
         K = kf.count
-        slots = targets + [-1]
+        real_slots = targets + [-1]
+        n_real = len(real_slots)
+        n_pad = max(self.n_joint - n_real, 0)
+        # round-robin from the NEWEST real frame down (the current frame is
+        # the one tracking renders against next; give it the spare budget)
+        pad_srcs = [n_real - 1 - (k % n_real) for k in range(n_pad)]
+        slots = real_slots[:1] + [real_slots[s] for s in pad_srcs] + real_slots[1:]
+        valid = [True] + [False] * n_pad + [True] * (n_real - 1)
+        # window position of real slot j: 0 for the oldest, else after pads
+        real_pos = [0] + [1 + n_pad + (j - 1) for j in range(1, n_real)]
+        pose_src = (
+            [0] + [real_pos[s] for s in pad_srcs] + real_pos[1:]
+        )
         T = len(slots)
 
         def gather(arr, cur_val):
-            kf_part = [arr[s] for s in targets]
-            return jnp.stack(kf_part + [cur_val], 0) if kf_part else cur_val[None]
+            return jnp.stack(
+                [cur_val if s == -1 else arr[s] for s in slots], 0
+            )
 
         colors = gather(kf.colors, cur["color"])
         depths = gather(kf.depths, cur["depth"])
@@ -293,15 +317,21 @@ class DNSSLAM:
         est = gather(kf.est_c2w, jnp.asarray(cur_c2w))
         gt = gather(kf.gt_c2w, jnp.asarray(cur["c2w"]))
 
+        # window position of each real target keyframe (for live refer poses)
+        pos_of_target = {}
+        for i, (sid, v) in enumerate(zip(slots, valid)):
+            if v and sid != -1 and sid not in pos_of_target:
+                pos_of_target[sid] = i
+
         # reference views per target: 2 keyframes + self
         refer_src = np.full((T, 3), -1, np.int32)
         refer_slots = np.zeros((T, 3), np.int32)
-        for i, tid in enumerate(slots):
-            r = self._refer_slots(tid, K)
+        for i, sid in enumerate(slots):
+            r = self._refer_slots(sid, K)
             for s, rid in enumerate(r):
                 refer_slots[i, s] = rid
-                if rid in targets:
-                    refer_src[i, s] = targets.index(rid)
+                if rid in pos_of_target:
+                    refer_src[i, s] = pos_of_target[rid]
             refer_slots[i, 2] = 0  # unused when src >= 0
             refer_src[i, 2] = i  # self
         refer_fixed_c2w = kf.est_c2w[jnp.asarray(refer_slots.reshape(-1))].reshape(
@@ -320,8 +350,8 @@ class DNSSLAM:
             self._cur_feats = self._encode(self.enc_params, cur["color"][None])[0]
             self._cur_feats_idx = int(cur["index"])
         per_target = []
-        for i, tid in enumerate(slots):
-            self_feats = self._cur_feats if tid == -1 else kf_feats(targets[i])
+        for i, sid in enumerate(slots):
+            self_feats = self._cur_feats if sid == -1 else kf_feats(sid)
             per_target.append(
                 jnp.stack(
                     [kf_feats(int(refer_slots[i, 0])),
@@ -331,8 +361,9 @@ class DNSSLAM:
             )
         refer_feats = jnp.stack(per_target)
 
-        pose_train = np.ones(T, np.float32)
-        pose_train[0] = 0.0 if T > 1 else 1.0  # oldest frame frozen
+        pose_train = np.asarray(valid, np.float32)
+        if n_real > 1:
+            pose_train[0] = 0.0  # oldest real frame frozen
         if not self.is_ba:
             pose_train[:] = 0.0
 
@@ -346,11 +377,12 @@ class DNSSLAM:
             "refer_fixed_c2w": refer_fixed_c2w,
             "refer_src": jnp.asarray(refer_src),
             "pose_train": jnp.asarray(pose_train),
+            "pose_src": jnp.asarray(pose_src, jnp.int32),
             "bound": self.bound_j,
             "lt_gate_iter": jnp.asarray(-1, jnp.int32),
         }
         tensors = tensor_from_camera(est)  # (T,7)
-        return window, tensors[:, :4], tensors[:, 4:], est, gt, slots
+        return window, tensors[:, :4], tensors[:, 4:], est, gt, slots, valid
 
     # ------------------------------------------------------------------
     def _set_decoder_counts(self, label_dict: List[int], cur_idx: int) -> List[int]:
@@ -372,7 +404,7 @@ class DNSSLAM:
         cur_c2w = self.estimate_c2w[idx]
         self.is_ba = idx >= self.start_optimize_idx
         targets = [] if is_first else self._select_targets(mode, cur, cur_c2w)
-        window, quads0, Ts0, est, gt, slots = self._build_window(
+        window, quads0, Ts0, est, gt, slots, valid = self._build_window(
             targets, cur, cur_c2w
         )
 
@@ -411,15 +443,18 @@ class DNSSLAM:
             self.params, quads0, Ts0, window, self._next_key()
         )
 
-        # BA write-back (reference: mapping.py:916-940)
+        # BA write-back (reference: mapping.py:916-940); skip padding slots
         c2w_new = np.asarray(
             camera_from_tensor(jnp.concatenate([quads, Ts], -1))
         )
         if self.is_ba:
-            for i, tid in enumerate(slots[:-1]):
-                if i == 0 and len(slots) > 1:
-                    continue  # frozen
-                self.keyframes.update_pose(targets[i], c2w_new[i])
+            n_real = len(targets) + 1
+            for i, (sid, v) in enumerate(zip(slots[:-1], valid[:-1])):
+                if not v:
+                    continue
+                if i == 0 and n_real > 1:
+                    continue  # frozen oldest
+                self.keyframes.update_pose(sid, c2w_new[i])
             self.estimate_c2w[idx] = c2w_new[-1]
         return aux, c2w_new[-1]
 

@@ -118,6 +118,16 @@ def _build_loss_fn(
       refer_src (T,R) int32 (index into window if the reference view is a
         live target, else -1),
       pose_train (T,) float (0 freezes a frame's pose),
+      pose_src (T,) int32, optional (default identity): window position whose
+        LIVE pose this slot renders with — windows are padded to a fixed
+        n_joint_optimize_frames so one compiled keystep serves every window
+        size; padding slots duplicate a real frame's tensors round-robin and
+        point pose_src at the real slot, so the frame simply receives that
+        slot's share of the ray budget (the reference splits n_pixels evenly
+        across its variable-size window, mapping.py:497) and pose gradients
+        flow to the one real variable,
+      frame_valid (T,) float, optional (default all-ones): 0 additionally
+        masks a slot out of every loss term,
       bound (3,2),
       lt_gate_iter () int32 (lambda_lt = 0 while iter <= gate; reference
         mapping.py:898-904).
@@ -183,6 +193,8 @@ def _build_loss_fn(
         params, quads, Ts = opt_params
         k_t, k_sm = jax.random.split(key)
         c2w_live = compose_c2w(quat_to_rotation(quads), Ts)  # (T,4,4)
+        if "pose_src" in window:
+            c2w_live = c2w_live[window["pose_src"]]
 
         keys = jax.random.split(k_t, T)
         per = [
@@ -198,6 +210,8 @@ def _build_loss_fn(
         )
 
         mask = inside
+        if "frame_valid" in window:
+            mask = mask & (jnp.repeat(window["frame_valid"], n_ray) > 0)
         p_loss = photometric_loss(gt_c, out.color, mask)
         d_loss = depth_l1_loss(gt_d, out.depth, mask)
         l_loss = semantic_ce_loss(gt_l, out.logits, mask)

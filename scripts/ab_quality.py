@@ -1,0 +1,187 @@
+"""A/B quality gate for TPU-profile deviations (VERDICT r1 item 7).
+
+Runs full SLAM (tracking + mapping + BA) on the textured synthetic scene
+(configs/synthetic/textured.yaml: 680x1200, 30 classes, multi-octave wall
+texture) once per encoding/precision variant, then scores each run on
+ATE RMSE, render PSNR, depth L1, and semantic mIoU over held-out full-frame
+renders. Reference-parity is the tcnn-shaped configuration (16 levels x 2
+features, trilinear 8-corner exact backward, f32 gathers, 4-tap features);
+a TPU-profile deviation is acceptable only if every metric stays within 5%
+(the BASELINE.json parity criterion).
+
+Writes AB_QUALITY.md + ab_quality.json in the repo root.
+
+Usage:
+  python scripts/ab_quality.py [--small] [--variants a,b,...] [--frames N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = {
+    # name -> (grid overrides, tpu overrides)
+    "parity": (
+        dict(n_levels=16, level_dim=2, grad_corners=8, gather_bf16=False,
+             interp="trilinear", grad_levels=0),
+        dict(compute_dtype="float32", feature_taps=4),
+    ),
+    "r1-tpu": (
+        dict(n_levels=4, level_dim=8, grad_corners=1, gather_bf16=True,
+             interp="trilinear", grad_levels=0),
+        dict(feature_taps=1),
+    ),
+    "tet4x8": (
+        dict(n_levels=4, level_dim=8, grad_corners=1, gather_bf16=True,
+             interp="tet", grad_levels=0),
+        dict(feature_taps=1),
+    ),
+    "tet4x8-gl1": (
+        dict(n_levels=4, level_dim=8, grad_corners=1, gather_bf16=True,
+             interp="tet", grad_levels=1),
+        dict(feature_taps=1),
+    ),
+    "tet2x16": (
+        dict(n_levels=2, level_dim=16, grad_corners=1, gather_bf16=True,
+             interp="tet", grad_levels=0),
+        dict(feature_taps=1),
+    ),
+    "tet2x16-gl1": (
+        dict(n_levels=2, level_dim=16, grad_corners=1, gather_bf16=True,
+             interp="tet", grad_levels=1),
+        dict(feature_taps=1),
+    ),
+}
+
+
+def run_variant(name, grid_over, tpu_over, frames, small, eval_every):
+    import jax
+    import jax.numpy as jnp
+
+    from dnsjax.config import load_config
+    from dnsjax.eval.ate import evaluate_ate
+    from dnsjax.eval.render_metrics import psnr
+    from dnsjax.eval.semantic import semantic_metrics
+    from dnsjax.geometry.se3 import invert_se3
+    from dnsjax.models.encoder import encode_images
+    from dnsjax.render.full import make_full_renderer
+    from dnsjax.slam.driver import DNSSLAM
+
+    cfg = load_config("configs/synthetic/textured.yaml", "configs/slam.yaml")
+    cfg["synthetic"]["n_frames"] = frames
+    cfg["model"]["grid"].update(grid_over)
+    cfg["tpu"].update(tpu_over)
+    cfg["verbose"] = False
+    if small:
+        cfg["cam"].update(H=170, W=300, fx=150.0, fy=150.0, cx=149.5, cy=84.5)
+        cfg["mapping"]["n_pixels"] = 1000
+        cfg["tracking"]["n_pixels"] = 300
+        cfg["tracking"]["ignore_edge"] = 5
+
+    out = f"/tmp/ab_{name}"
+    os.system(f"rm -rf {out}")
+    t0 = time.perf_counter()
+    slam = DNSSLAM(cfg, output_dir=out)
+    est, gt = slam.run()
+    wall = time.perf_counter() - t0
+
+    stats = evaluate_ate(est, gt)
+    ate = stats["absolute_translational_error.rmse"]
+
+    ds = slam.dataset
+    renderer = make_full_renderer(
+        slam.spec,
+        dict(H=ds.H, W=ds.W, fx=ds.fx, fy=ds.fy, cx=ds.cx, cy=ds.cy),
+        slam.map_cfg.n_samples, slam.map_cfg.n_surface,
+        compute_dtype=slam.compute_dtype,
+    )
+    psnrs, dl1s, mious = [], [], []
+    for idx in range(4, frames, eval_every):
+        f = ds[idx]
+        c2w = jnp.asarray(est[idx])
+        feats = encode_images(
+            slam.enc_params, jnp.asarray(f["color"])[None].repeat(3, 0)
+        )
+        color, depth, logits = renderer(
+            slam.params, c2w, jnp.asarray(f["depth"]), jnp.asarray(f["label"]),
+            invert_se3(jnp.stack([c2w, c2w, c2w])), feats, slam.bound_j,
+            jax.random.PRNGKey(idx),
+        )
+        color, depth = np.asarray(color), np.asarray(depth)
+        pred_label = np.asarray(jnp.argmax(logits, -1))
+        valid = f["depth"] > 0
+        psnrs.append(psnr(f["color"], color, valid))
+        dl1s.append(float(np.abs(depth - f["depth"])[valid].mean()))
+        mious.append(
+            semantic_metrics(f["label"], pred_label, ds.n_class, valid)["miou"]
+        )
+    return {
+        "ate_rmse_m": float(ate),
+        "psnr_db": float(np.mean(psnrs)),
+        "depth_l1_cm": float(np.mean(dl1s) * 100),
+        "miou": float(np.mean(mious)),
+        "wall_s": round(wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="170x300 smoke shape instead of 680x1200")
+    ap.add_argument("--variants", type=str, default=",".join(VARIANTS))
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--eval-every", type=int, default=7)
+    args = ap.parse_args()
+
+    results = {}
+    for name in args.variants.split(","):
+        grid_over, tpu_over = VARIANTS[name]
+        print(f"== {name} ==", flush=True)
+        results[name] = run_variant(
+            name, grid_over, tpu_over, args.frames, args.small, args.eval_every
+        )
+        print(json.dumps(results[name]), flush=True)
+
+    with open("ab_quality.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+    ref = results.get("parity")
+    lines = [
+        "# A/B quality gate — TPU-profile deviations vs reference-parity",
+        "",
+        f"Scene: configs/synthetic/textured.yaml ({'170x300 smoke' if args.small else '680x1200'}, "
+        f"{args.frames} frames, 30 classes, full tracking+mapping+BA).",
+        "Gate: every metric within 5% of `parity` (BASELINE.json criterion);",
+        "higher-is-better for psnr/miou, lower-is-better for ate/depth_l1.",
+        "",
+        "| variant | ATE RMSE (m) | PSNR (dB) | depth L1 (cm) | mIoU | wall (s) | pass |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        if ref is None or name == "parity":
+            ok = "—"
+        else:
+            checks = [
+                r["psnr_db"] >= ref["psnr_db"] * 0.95,
+                r["miou"] >= ref["miou"] * 0.95,
+                r["ate_rmse_m"] <= ref["ate_rmse_m"] * 1.05 + 1e-4,
+                r["depth_l1_cm"] <= ref["depth_l1_cm"] * 1.05 + 1e-3,
+            ]
+            ok = "yes" if all(checks) else "NO"
+        lines.append(
+            f"| {name} | {r['ate_rmse_m']:.4f} | {r['psnr_db']:.2f} | "
+            f"{r['depth_l1_cm']:.2f} | {r['miou']:.3f} | {r['wall_s']} | {ok} |"
+        )
+    with open("AB_QUALITY.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

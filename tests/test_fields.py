@@ -119,3 +119,109 @@ def test_mlp_bf16_close_to_f32(rng):
     bf16 = mlp_apply(params, x, compute_dtype=jnp.bfloat16)
     rel = float(jnp.max(jnp.abs(f32 - bf16)) / (jnp.max(jnp.abs(f32)) + 1e-8))
     assert rel < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Tetrahedral (4-corner) interpolation mode
+# ---------------------------------------------------------------------------
+
+TET_SPEC = HashGridSpec(
+    n_levels=4, n_features=2, log2_hashmap_size=10,
+    base_resolution=4, desired_resolution=64, interp="tet",
+)
+
+
+def test_tet_matches_numpy_oracle(rng):
+    table = init_hash_table(jax.random.PRNGKey(0), TET_SPEC)
+    pts = rng.uniform(size=(100, 3)).astype(np.float32)
+    got = np.asarray(hash_encode(table, jnp.asarray(pts), TET_SPEC))
+    want = hash_encode_ref(np.asarray(table), pts, TET_SPEC)
+    assert got.shape == (100, 8)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_tet_weights_partition_of_unity(rng):
+    """Constant table -> constant field (weights sum to 1 everywhere)."""
+    spec = TET_SPEC
+    table = jnp.full((spec.n_levels, spec.table_size, spec.n_features), 0.37)
+    pts = jnp.asarray(rng.uniform(size=(200, 3)).astype(np.float32))
+    out = hash_encode(table, pts, spec)
+    np.testing.assert_allclose(np.asarray(out), 0.37, atol=1e-6)
+
+
+def test_tet_continuous_across_cells_and_tets(rng):
+    """C0 across cell faces AND internal tetrahedron faces (f_i == f_j)."""
+    table = init_hash_table(jax.random.PRNGKey(1), TET_SPEC)
+    # points straddling internal tet faces: two equal frac coords
+    base = rng.uniform(0.1, 0.9, size=(50, 3)).astype(np.float32)
+    base[:, 1] = base[:, 0]  # on the f0 == f1 plane of every level
+    p = jnp.asarray(base)
+    e = 1e-5
+    for d in ([e, -e, 0], [-e, e, 0], [0, 0, e]):
+        a = hash_encode(table, p, TET_SPEC)
+        b = hash_encode(table, p + jnp.asarray(d), TET_SPEC)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-3
+    # and across cell boundaries (integer lattice planes of level 0)
+    q = np.copy(base)
+    q[:, 0] = np.round(base[:, 0] * 4) / 4
+    qj = jnp.asarray(q)
+    a = hash_encode(table, qj - jnp.asarray([e, 0, 0]), TET_SPEC)
+    b = hash_encode(table, qj + jnp.asarray([e, 0, 0]), TET_SPEC)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-3
+
+
+def test_tet_vertex_exact():
+    spec = HashGridSpec(1, 2, 12, 4, 4, interp="tet")
+    table = init_hash_table(jax.random.PRNGKey(2), spec)
+    p = jnp.asarray([[0.25, 0.5, 0.75]])
+    got = np.asarray(hash_encode(table, p, spec))[0]
+    np.testing.assert_allclose(got, np.asarray(table)[0, 1 + 5 * (2 + 5 * 3)], atol=1e-6)
+
+
+def test_tet_position_gradient_matches_fd(rng):
+    """Analytic d/dp == central finite differences (inside one tet)."""
+    table = init_hash_table(jax.random.PRNGKey(3), TET_SPEC) * 1e3
+    g_out = jnp.asarray(rng.normal(size=(1, 8)).astype(np.float32))
+
+    def f(p):
+        return jnp.vdot(hash_encode(table, p[None], TET_SPEC), g_out)
+
+    p0 = jnp.asarray([0.312, 0.571, 0.433])  # distinct fracs at all levels
+    grad = np.asarray(jax.grad(f)(p0))
+    e = 1e-4
+    for k in range(3):
+        d = np.zeros(3, np.float32)
+        d[k] = e
+        fd = (float(f(p0 + d)) - float(f(p0 - d))) / (2 * e)
+        np.testing.assert_allclose(grad[k], fd, rtol=2e-2)
+
+
+def test_stochastic_level_backward_unbiased(rng):
+    """grad_levels=1 scatter expectation == exact per-level scatter."""
+    exact_spec = HashGridSpec(4, 2, 8, 4, 32, grad_corners=8)
+    sto_spec = HashGridSpec(4, 2, 8, 4, 32, grad_corners=8, grad_levels=1)
+    table = init_hash_table(jax.random.PRNGKey(4), exact_spec)
+
+    def table_grad(spec, pts):
+        return jax.grad(lambda t: jnp.sum(hash_encode(t, pts, spec)))(table)
+
+    # expectation over many points: totals per level should agree within
+    # sampling noise (the level estimator is unbiased, scaled by L)
+    pts = jnp.asarray(rng.uniform(size=(20000, 3)).astype(np.float32))
+    ge = np.asarray(table_grad(exact_spec, pts)).sum((1, 2))
+    gs = np.asarray(table_grad(sto_spec, pts)).sum((1, 2))
+    np.testing.assert_allclose(gs, ge, rtol=0.05)
+
+
+def test_tet_stochastic_corner_unbiased(rng):
+    exact_spec = HashGridSpec(2, 2, 8, 4, 16, interp="tet", grad_corners=4)
+    sto_spec = HashGridSpec(2, 2, 8, 4, 16, interp="tet", grad_corners=1)
+    table = init_hash_table(jax.random.PRNGKey(5), exact_spec)
+    pts = jnp.asarray(rng.uniform(size=(30000, 3)).astype(np.float32))
+
+    def table_grad(spec):
+        return jax.grad(lambda t: jnp.sum(hash_encode(t, pts, spec)))(table)
+
+    ge = np.asarray(table_grad(exact_spec)).sum((1, 2))
+    gs = np.asarray(table_grad(sto_spec)).sum((1, 2))
+    np.testing.assert_allclose(gs, ge, rtol=0.05)
