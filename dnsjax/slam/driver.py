@@ -93,7 +93,9 @@ class DNSSLAM:
         seed = int(cfg.get("seed", 0))
         self.key = jax.random.PRNGKey(seed)
         self.params = init_decoder_params(self._next_key(), self.spec)
-        self.enc_params = init_encoder_params(seed)
+        self.enc_params = init_encoder_params(
+            seed, mode=str(tpu_cfg.get("encoder_init", "gabor"))
+        )
 
         ds = self.dataset
         tr, mp, trn = cfg["tracking"], cfg["mapping"], cfg["training"]

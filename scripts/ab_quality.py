@@ -57,6 +57,13 @@ VARIANTS = {
              interp="tet", grad_levels=1),
         dict(feature_taps=1),
     ),
+    # encoder axis: round-1's seeded-random conv1 vs the procedural Gabor
+    # bank (models/encoder.py), on the round-1 grid profile
+    "r1-tpu-randenc": (
+        dict(n_levels=4, level_dim=8, grad_corners=1, gather_bf16=True,
+             interp="trilinear", grad_levels=0),
+        dict(feature_taps=1, encoder_init="random"),
+    ),
 }
 
 
@@ -137,15 +144,46 @@ def main():
     ap.add_argument("--variants", type=str, default=",".join(VARIANTS))
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--eval-every", type=int, default=7)
+    ap.add_argument("--one", type=str, default=None,
+                    help="(internal) run a single variant, print JSON")
     args = ap.parse_args()
+
+    if args.one:
+        grid_over, tpu_over = VARIANTS[args.one]
+        r = run_variant(
+            args.one, grid_over, tpu_over, args.frames, args.small,
+            args.eval_every,
+        )
+        print("ABRESULT " + json.dumps(r), flush=True)
+        return
+
+    # each variant runs in its own subprocess (one retry) — the remote-TPU
+    # worker occasionally crashes mid-run and must not kill the whole sweep
+    import subprocess
 
     results = {}
     for name in args.variants.split(","):
-        grid_over, tpu_over = VARIANTS[name]
         print(f"== {name} ==", flush=True)
-        results[name] = run_variant(
-            name, grid_over, tpu_over, args.frames, args.small, args.eval_every
-        )
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--one", name,
+            "--frames", str(args.frames), "--eval-every", str(args.eval_every),
+        ] + (["--small"] if args.small else [])
+        for attempt in range(2):
+            p = subprocess.run(cmd, capture_output=True, text=True)
+            line = next(
+                (l for l in p.stdout.splitlines() if l.startswith("ABRESULT ")),
+                None,
+            )
+            if line:
+                results[name] = json.loads(line[len("ABRESULT "):])
+                break
+            tail = (p.stderr or "").strip().splitlines()[-1][:200] if p.stderr else "no output"
+            print(f"  attempt {attempt + 1} failed (rc={p.returncode}): {tail}",
+                  flush=True)
+        else:
+            results[name] = {"ate_rmse_m": float("nan"), "psnr_db": float("nan"),
+                             "depth_l1_cm": float("nan"), "miou": float("nan"),
+                             "wall_s": -1}
         print(json.dumps(results[name]), flush=True)
 
     with open("ab_quality.json", "w") as f:

@@ -147,3 +147,40 @@ def test_fine_grads_only_touch_used_classes(rng):
     used = np.abs(gw).sum(axis=(1, 2))
     assert used[0] > 0 and used[2] > 0
     assert used[1] == 0 and used[3] == 0 and used[5] == 0
+
+
+def test_gabor_encoder_bank():
+    """Procedural conv1 bank: shape, determinism, zero-mean Gabors, He norm."""
+    from dnsjax.models.encoder import init_encoder_params, _gabor_bank
+
+    w = _gabor_bank()
+    assert w.shape == (7, 7, 3, 64)
+    norms = np.sqrt((w**2).sum((0, 1, 2)))
+    np.testing.assert_allclose(norms, np.sqrt(2.0), rtol=1e-5)
+    # oriented filters are zero-mean (no DC response to flat images)
+    means = np.abs(w[..., :48].sum((0, 1, 2)))
+    assert means.max() < 1e-5
+    p1 = init_encoder_params(0, mode="gabor")
+    p2 = init_encoder_params(7, mode="gabor")
+    np.testing.assert_array_equal(np.asarray(p1["w"]), np.asarray(p2["w"]))
+    # random mode still seeded-deterministic and different from gabor
+    r1 = init_encoder_params(0, mode="random")
+    assert not np.allclose(np.asarray(r1["w"]), np.asarray(p1["w"]))
+
+
+def test_gabor_encoder_responds_to_texture():
+    """Gabor bank separates textured from flat inputs better than chance."""
+    import jax.numpy as jnp
+    from dnsjax.models.encoder import init_encoder_params, encode_images
+
+    p = init_encoder_params(0, mode="gabor")
+    H, W = 32, 32
+    y, x = np.mgrid[0:H, 0:W]
+    tex = (0.5 + 0.45 * np.sin(x * 1.3) * np.cos(y * 0.9)).astype(np.float32)
+    tex_img = np.repeat(tex[..., None], 3, -1)
+    flat_img = np.full((H, W, 3), 0.5, np.float32)
+    ft = np.asarray(encode_images(p, jnp.asarray(tex_img)[None])[0])
+    ff = np.asarray(encode_images(p, jnp.asarray(flat_img)[None])[0])
+    # interior only: SAME-padding edge effects excite even zero-mean filters
+    ft, ff = ft[3:-3, 3:-3], ff[3:-3, 3:-3]
+    assert ft.std() > 5 * max(ff.std(), 1e-6)
