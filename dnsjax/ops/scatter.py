@@ -1,4 +1,14 @@
-"""Pallas TPU kernel: sorted segmented scatter-add (hash-table gradients).
+"""EXPERIMENTAL Pallas TPU kernel: sorted segmented scatter-add.
+
+Status: NOT in the production autodiff path. On pre-sorted contributions it
+beats XLA scatter 2.7x (18 vs 49 ms at 3M rows), but hash-table gradient
+indices arrive unsorted and the required argsort + payload permutation
+costs more than the win (measured: argsort 3M keys ~6 ms, permuting 32-byte
+payloads ~20 ms). The production backward instead REDUCES scatter rows —
+stochastic-corner + stochastic-level sampling in ops/hashgrid.py — which
+beats both. The kernel is kept (with its tests) as the building block for
+a future sort-free path should a naturally-grouped contribution order
+appear.
 
 XLA's TPU scatter-add costs ~70 ns/row (measured; it serializes colliding
 updates), which makes the hash-encoding backward the dominant cost of map
