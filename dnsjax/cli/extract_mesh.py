@@ -71,9 +71,15 @@ def main(argv=None):
             ckpt["kf/est_c2w"][k],
         )
 
+    device_mesh = None
+    dp = min(int(cfg.get("tpu", {}).get("data_parallel", 1)), len(jax.devices()))
+    if dp > 1:
+        from dnsjax.parallel.mesh import ray_mesh
+
+        device_mesh = ray_mesh(dp)
     mesher = Mesher(
         cfg, dict(H=ds.H, W=ds.W, fx=ds.fx, fy=ds.fy, cx=ds.cx, cy=ds.cy),
-        bound, spec,
+        bound, spec, device_mesh=device_mesh,
     )
     colors = np.random.default_rng(7).integers(
         0, 256, size=(ds.n_class, 3)

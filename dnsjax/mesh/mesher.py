@@ -43,7 +43,14 @@ class Mesher:
         bound: np.ndarray,
         spec: DecoderSpec,
         compute_dtype=jnp.bfloat16,
+        device_mesh=None,
     ):
+        """``device_mesh``: optional 1-D jax.sharding.Mesh with axis 'dp'.
+        When given, grid/vertex query chunks are sharded over the mesh
+        (points are embarrassingly parallel — params/keyframes replicated,
+        each device scans the keyframes over its own point shard; no
+        collectives). This is the multi-chip path for the 256^3 = 16.7M-point
+        extraction (reference cost center: slams/meshing.py:646-657)."""
         m = cfg["meshing"]
         self.resolution = int(m.get("resolution", 256))
         self.points_batch = int(m.get("points_batch_size", 262144))
@@ -71,6 +78,11 @@ class Mesher:
         self.cam = cam
         self.spec = spec
         self.compute_dtype = compute_dtype
+        self.device_mesh = device_mesh
+        if device_mesh is not None:
+            n_dev = device_mesh.devices.size
+            # chunk size must split evenly over the mesh
+            self.points_batch = -(-self.points_batch // n_dev) * n_dev
         self._query = self._build_query()
 
     # ------------------------------------------------------------------
@@ -160,6 +172,18 @@ class Mesher:
             out_label = jnp.where(in_bound & label_seen, label, -1)
             return occ, out_label, color, count
 
+        if self.device_mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            sharded = shard_map(
+                query_chunk,
+                mesh=self.device_mesh,
+                in_specs=(P(), P("dp"), P(), P(), P(), P(), P(), P()),
+                out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                check_vma=False,
+            )
+            return jax.jit(sharded)
         return jax.jit(query_chunk)
 
     # ------------------------------------------------------------------

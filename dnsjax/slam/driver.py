@@ -140,6 +140,9 @@ class DNSSLAM:
 
         cap = int(mp.get("max_keyframes", 96))
         self.keyframes = KeyframeStore(cap, ds.H, ds.W, self.n_class)
+        # on overflow: "redundant" evicts the most pose-redundant keyframe
+        # (never the oldest anchor or the latest), "skip" drops the new frame
+        self.kf_eviction = str(mp.get("kf_eviction", "redundant"))
 
         self.estimate_c2w = np.tile(np.eye(4, dtype=np.float32), (self.n_img, 1, 1))
         self.gt_c2w = np.tile(np.eye(4, dtype=np.float32), (self.n_img, 1, 1))
@@ -186,12 +189,18 @@ class DNSSLAM:
         if self.mesh_every > 0 and "meshing" in cfg:
             from dnsjax.mesh import Mesher
 
+            device_mesh = None
+            if self.dp_devices > 1:
+                from dnsjax.parallel.mesh import ray_mesh
+
+                device_mesh = ray_mesh(self.dp_devices)
             self.mesher = Mesher(
                 cfg,
                 dict(H=ds.H, W=ds.W, fx=ds.fx, fy=ds.fy, cx=ds.cx, cy=ds.cy),
                 self.bound,
                 self.spec,
                 self.compute_dtype,
+                device_mesh=device_mesh,
             )
 
     # ------------------------------------------------------------------
@@ -224,6 +233,34 @@ class DNSSLAM:
             "label": jnp.asarray(frame["label"]),
             "c2w": jnp.asarray(frame["c2w"]),
         }
+
+    # ------------------------------------------------------------------
+    def _evict_keyframe(self) -> None:
+        """Evict the most pose-redundant keyframe to make room (dnsjax
+        extension; the reference's keyframe list grows without bound,
+        mapping.py:1082-1089). Candidates are slots 1..K-2: slot 0 is the
+        bootstrap anchor (always a valid refer view) and slot K-1 the latest
+        keyframe (always a window target). Redundancy = distance of the
+        camera center to its nearest temporal neighbor — evicting the
+        argmin removes the least new viewpoint coverage."""
+        K = self.keyframes.count
+        if K < 3:
+            return
+        centers = np.asarray(self.keyframes.est_c2w[:K, :3, 3])
+        d_prev = np.linalg.norm(centers[1:] - centers[:-1], axis=-1)  # (K-1,)
+        # slot i in 1..K-2: min(dist to i-1, dist to i+1)
+        redun = np.minimum(d_prev[:-1], d_prev[1:])  # (K-2,) for slots 1..K-2
+        victim = 1 + int(np.argmin(redun))
+        self.keyframes.evict(victim)
+        # shift the encoder-feature cache keys above the vacated slot
+        feats = {}
+        for slot, f in self._kf_feats.items():
+            if slot == victim:
+                continue
+            feats[slot - 1 if slot > victim else slot] = f
+        self._kf_feats = feats
+        if self.verbose:
+            print(f"evicted keyframe slot {victim} (store at capacity)")
 
     # ------------------------------------------------------------------
     # window selection (host logic; reference: mapping.py:329-436)
@@ -689,17 +726,20 @@ class DNSSLAM:
                 if (
                     idx % self.keyframe_every == 0 or idx == n - 2
                 ) and idx not in self.keyframes.frame_ids:
+                    if self.keyframes.count >= self.keyframes.capacity:
+                        if self.kf_eviction == "skip":
+                            print(
+                                f"WARNING: keyframe store full "
+                                f"({self.keyframes.capacity}); frame {idx} not "
+                                f"keyframed — raise mapping.max_keyframes"
+                            )
+                        else:
+                            self._evict_keyframe()
                     if self.keyframes.count < self.keyframes.capacity:
                         self.keyframes.add(
                             {k: np.asarray(v) for k, v in cur.items() if k != "index"}
                             | {"index": idx},
                             self.estimate_c2w[idx],
-                        )
-                    else:
-                        print(
-                            f"WARNING: keyframe store full "
-                            f"({self.keyframes.capacity}); frame {idx} not "
-                            f"keyframed — raise mapping.max_keyframes"
                         )
 
                 if (

@@ -61,5 +61,25 @@ class KeyframeStore:
         """Write back a BA-refined pose (reference: mapping.py:916-926)."""
         self.est_c2w = self.est_c2w.at[slot].set(jnp.asarray(est_c2w))
 
+    def evict(self, slot: int) -> None:
+        """Remove a keyframe, shifting later slots down to keep the store
+        ordered by insertion time (the window/refer logic relies on slot
+        order == temporal order). The reference never evicts — its keyframe
+        list grows without bound (mapping.py:1082-1089); eviction is dnsjax's
+        robustness extension for sequences longer than
+        capacity * choose_keyframe_every frames."""
+        if not (0 <= slot < self.count):
+            raise IndexError(f"evict slot {slot} out of range (count {self.count})")
+        K = self.count
+        if slot < K - 1:
+            for name in (
+                "colors", "depths", "labels", "gt_c2w", "est_c2w",
+                "sorted_idx", "class_offsets",
+            ):
+                arr = getattr(self, name)
+                setattr(self, name, arr.at[slot : K - 1].set(arr[slot + 1 : K]))
+        del self.frame_ids[slot]
+        self.count -= 1
+
     def est_poses_np(self) -> np.ndarray:
         return np.asarray(self.est_c2w[: self.count])

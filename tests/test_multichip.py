@@ -49,3 +49,44 @@ def test_dp_driver_end_to_end():
     assert np.isfinite(est).all()
     # GT-camera mode: estimates equal GT exactly
     np.testing.assert_allclose(est, gt, atol=1e-6)
+
+
+def test_mesher_query_dp_matches_single():
+    """Sharded grid-query chunks reproduce the single-device query exactly."""
+    from dnsjax.mesh.mesher import Mesher
+    from dnsjax.models.decoder import DecoderSpec, init_decoder_params
+    from dnsjax.ops.hashgrid import HashGridSpec
+    from dnsjax.parallel.mesh import ray_mesh
+
+    H, W, K, n_class = 24, 32, 3, 5
+    spec = DecoderSpec(n_class=n_class, grid=HashGridSpec(4, 2, 10, 4, 32),
+                       n_bins=16)
+    params = init_decoder_params(jax.random.PRNGKey(0), spec)
+    bound = np.asarray([[-2.0, 2.0], [-2.0, 2.0], [-2.0, 2.0]])
+    cam = dict(H=H, W=W, fx=16.0, fy=16.0, cx=15.5, cy=11.5)
+    cfg = {
+        "meshing": {"resolution": 8, "points_batch_size": 96,
+                    "level_set": 0.0, "clean_mesh": False},
+        "back_end": {"bound": bound.tolist()},
+    }
+
+    rng = np.random.default_rng(3)
+    kf_c2w = jnp.tile(jnp.eye(4), (K, 1, 1))
+    kf_valid = jnp.ones(K, bool)
+    kf_feats = jnp.asarray(rng.normal(size=(K, H // 2, W // 2, 64)), jnp.float32)
+    kf_labels = jnp.asarray(rng.integers(0, n_class, size=(K, H, W)), jnp.int32)
+    kf_depths = jnp.asarray(rng.uniform(0.5, 3.0, size=(K, H, W)), jnp.float32)
+    bj = jnp.asarray(bound, jnp.float32)
+
+    m1 = Mesher(cfg, cam, bound, spec, jnp.float32)
+    m2 = Mesher(cfg, cam, bound, spec, jnp.float32, device_mesh=ray_mesh(4))
+    assert m2.points_batch % 4 == 0
+
+    pts = jnp.asarray(rng.uniform(-1.5, 1.5, size=(96, 3)), jnp.float32)
+    o1 = m1._query(params, pts, kf_c2w, kf_valid, kf_feats, kf_labels,
+                   kf_depths, bj)
+    o2 = m2._query(params, pts, kf_c2w, kf_valid, kf_feats, kf_labels,
+                   kf_depths, bj)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

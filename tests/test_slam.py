@@ -318,3 +318,65 @@ def test_tracking_early_exit(slam_gt_camera):
     err0 = np.abs(t7 - results[0][0]).mean()
     err8 = np.abs(t7 - results[8][0]).mean()
     assert err8 < max(err0 * 2.0, 0.02), (err0, err8)
+
+
+def test_keyframe_eviction_unit():
+    """evict() shifts later slots down and keeps insertion order."""
+    from dnsjax.slam.keyframes import KeyframeStore
+
+    H, W, C = 8, 10, 3
+    store = KeyframeStore(4, H, W, C)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        store.add(
+            {
+                "color": rng.uniform(size=(H, W, 3)).astype(np.float32),
+                "depth": np.full((H, W), 1.0 + i, np.float32),
+                "label": rng.integers(0, C, size=(H, W)).astype(np.int32),
+                "c2w": np.eye(4, dtype=np.float32),
+                "index": 10 * i,
+            },
+            np.eye(4, dtype=np.float32),
+        )
+    store.evict(1)
+    assert store.count == 3
+    assert store.frame_ids == [0, 20, 30]
+    # depths identify frames: slot 1 now holds old slot 2 (depth 3.0)
+    assert float(store.depths[1, 0, 0]) == 3.0
+    assert float(store.depths[2, 0, 0]) == 4.0
+    # adding after eviction reuses the freed tail slot
+    store.add(
+        {
+            "color": np.zeros((H, W, 3), np.float32),
+            "depth": np.full((H, W), 9.0, np.float32),
+            "label": np.zeros((H, W), np.int32),
+            "c2w": np.eye(4, dtype=np.float32),
+            "index": 40,
+        },
+        np.eye(4, dtype=np.float32),
+    )
+    assert store.count == 4 and store.frame_ids[-1] == 40
+
+
+def test_driver_keyframe_eviction_end_to_end():
+    """A run whose sequence overflows the store completes via eviction."""
+    from dnsjax.data.synthetic import synthetic_slam_config
+    from dnsjax.slam.driver import DNSSLAM
+
+    cfg = synthetic_slam_config(
+        H=32, W=40, n_frames=14, n_iters_track=3, n_iters_map=4,
+        n_pixels_map=120,
+    )
+    cfg["use_gt_camera"] = True
+    cfg["mapping"]["max_keyframes"] = 3
+    cfg["mapping"]["choose_keyframe_every"] = 2
+    slam = DNSSLAM(cfg, output_dir="/tmp/dnsjax_test_evict")
+    est, gt = slam.run()
+    assert np.isfinite(est).all()
+    kf = slam.keyframes
+    assert kf.count == 3
+    # the bootstrap anchor survives every eviction; the latest keyframe is
+    # one of the final frames
+    assert kf.frame_ids[0] == 0
+    assert kf.frame_ids[-1] >= 10
+    assert kf.frame_ids == sorted(kf.frame_ids)
