@@ -44,6 +44,9 @@ class DecoderSpec:
     pts_dim: int = 3
     hidden_dim: int = 32
     pixel_dim: int = 64
+    # "gaussian" (erf CDF, textbook) or "quartic" (tcnn's polynomial kernel
+    # — see ops/oneblob.py; A/B-gated by scripts/ab_quality.py)
+    oneblob_kernel: str = "gaussian"
 
     @property
     def pe_dim(self) -> int:
@@ -83,6 +86,7 @@ class DecoderSpec:
             pts_dim=int(m.get("pts_dim", 3)),
             hidden_dim=int(m.get("hidden_dim", 32)),
             pixel_dim=int(m.get("pixel_dim", 64)),
+            oneblob_kernel=str(m["pos"].get("kernel", "gaussian")),
         )
 
 
@@ -112,7 +116,7 @@ def pos_encode(
 
     Reference: models/decoder.py:30-48 (``Pos_Encoding.forward``).
     """
-    pe = oneblob_encode(pts01, spec.n_bins)
+    pe = oneblob_encode(pts01, spec.n_bins, spec.oneblob_kernel)
     grid = hash_encode(params["table"], pts01, spec.grid)
     return pe, grid
 
@@ -175,7 +179,7 @@ def merge_apply(
       (N, hidden_dim) mean over reference views.
     """
     p = (rel_pos - bound[:, 0]) / (bound[:, 1] - bound[:, 0])
-    pe = oneblob_encode(p, spec.n_bins)
+    pe = oneblob_encode(p, spec.n_bins, spec.oneblob_kernel)
     x = jnp.concatenate([pe, pixel_feats], axis=-1)
     latents = mlp_apply(params["merge"], x, compute_dtype)
     return jnp.mean(latents, axis=0)

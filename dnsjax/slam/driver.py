@@ -120,6 +120,7 @@ class DNSSLAM:
             lambda_l=float(trn["lambda_label"]), lambda_sm=float(trn["lambda_smooth"]),
             lambda_fs=float(trn["lambda_fs"]), lambda_op=float(trn["lambda_opacity"]),
             smooth_pts=int(trn["smooth_pts"]),
+            smooth_every=int(trn.get("smooth_every", 1)),
             opacity_sigma=float(trn["opacity_sigma"]),
             feature_taps=feature_taps,
         )

@@ -74,6 +74,11 @@ class MapConfig:
     smooth_pts: int = 64
     smooth_voxel: float = 0.1
     smooth_margin: float = 0.05
+    # Evaluate the TV-smoothness term every k-th iteration, scaled by k —
+    # same expected penalty over the keystep (the term is already a
+    # stochastic estimator over a random sub-grid; reference evaluates it
+    # every iteration, mapping.py:891-907). A/B-gated (scripts/ab_quality.py).
+    smooth_every: int = 1
     opacity_sigma: float = 0.05
     truncation: float = 0.2
     feature_taps: int = 4  # 1 = nearest half-res tap (see models/features.py)
@@ -218,10 +223,25 @@ def _build_loss_fn(
         lt_loss = latent_distill_loss(
             out.coarse_latents, out.fine_latents, mask[:, None, None]
         )
-        occ_grid = smoothness_grid_occ(
-            params, spec, window["bound"], k_sm, cfg, compute_dtype
-        )
-        sm_loss = tv_smoothness_loss(occ_grid)
+        if cfg.smooth_every > 1:
+            # lax.cond executes only the taken branch: off-iterations skip
+            # the 36k-point encode+MLP entirely; the k-scaling keeps the
+            # expected per-keystep penalty identical
+            sm_loss = jax.lax.cond(
+                it % cfg.smooth_every == 0,
+                lambda _: tv_smoothness_loss(
+                    smoothness_grid_occ(
+                        params, spec, window["bound"], k_sm, cfg, compute_dtype
+                    )
+                ) * float(cfg.smooth_every),
+                lambda _: 0.0,
+                None,
+            )
+        else:
+            occ_grid = smoothness_grid_occ(
+                params, spec, window["bound"], k_sm, cfg, compute_dtype
+            )
+            sm_loss = tv_smoothness_loss(occ_grid)
         fs_loss, op_loss = freespace_opacity_loss(
             z, gt_d, out.fine_latents[..., 0], mask,
             truncation=cfg.truncation, sigma=cfg.opacity_sigma,

@@ -25,49 +25,51 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+_TPU_GRID = dict(n_levels=4, level_dim=8, grad_corners=1, gather_bf16=True,
+                 interp="trilinear", grad_levels=0)
+
 VARIANTS = {
-    # name -> (grid overrides, tpu overrides)
-    "parity": (
-        dict(n_levels=16, level_dim=2, grad_corners=8, gather_bf16=False,
-             interp="trilinear", grad_levels=0),
-        dict(compute_dtype="float32", feature_taps=4),
+    # name -> {config section -> overrides}; sections: grid (model.grid),
+    # tpu, pos (model.pos), training
+    "parity": dict(
+        grid=dict(n_levels=16, level_dim=2, grad_corners=8, gather_bf16=False,
+                  interp="trilinear", grad_levels=0),
+        tpu=dict(compute_dtype="float32", feature_taps=4),
     ),
-    "r1-tpu": (
-        dict(n_levels=4, level_dim=8, grad_corners=1, gather_bf16=True,
-             interp="trilinear", grad_levels=0),
-        dict(feature_taps=1),
+    "r1-tpu": dict(grid=dict(_TPU_GRID), tpu=dict(feature_taps=1)),
+    "tet4x8": dict(
+        grid=dict(_TPU_GRID, interp="tet"), tpu=dict(feature_taps=1),
     ),
-    "tet4x8": (
-        dict(n_levels=4, level_dim=8, grad_corners=1, gather_bf16=True,
-             interp="tet", grad_levels=0),
-        dict(feature_taps=1),
+    "tet4x8-gl1": dict(
+        grid=dict(_TPU_GRID, interp="tet", grad_levels=1),
+        tpu=dict(feature_taps=1),
     ),
-    "tet4x8-gl1": (
-        dict(n_levels=4, level_dim=8, grad_corners=1, gather_bf16=True,
-             interp="tet", grad_levels=1),
-        dict(feature_taps=1),
+    "tet2x16": dict(
+        grid=dict(_TPU_GRID, n_levels=2, level_dim=16, interp="tet"),
+        tpu=dict(feature_taps=1),
     ),
-    "tet2x16": (
-        dict(n_levels=2, level_dim=16, grad_corners=1, gather_bf16=True,
-             interp="tet", grad_levels=0),
-        dict(feature_taps=1),
-    ),
-    "tet2x16-gl1": (
-        dict(n_levels=2, level_dim=16, grad_corners=1, gather_bf16=True,
-             interp="tet", grad_levels=1),
-        dict(feature_taps=1),
+    "tet2x16-gl1": dict(
+        grid=dict(_TPU_GRID, n_levels=2, level_dim=16, interp="tet",
+                  grad_levels=1),
+        tpu=dict(feature_taps=1),
     ),
     # encoder axis: round-1's seeded-random conv1 vs the procedural Gabor
     # bank (models/encoder.py), on the round-1 grid profile
-    "r1-tpu-randenc": (
-        dict(n_levels=4, level_dim=8, grad_corners=1, gather_bf16=True,
-             interp="trilinear", grad_levels=0),
-        dict(feature_taps=1, encoder_init="random"),
+    "r1-tpu-randenc": dict(
+        grid=dict(_TPU_GRID), tpu=dict(feature_taps=1, encoder_init="random"),
+    ),
+    # quartic OneBlob (tcnn's own kernel) + strided smoothness on the tet
+    # profile — the round-2 candidate default
+    "tet4x8-quartic-sm4": dict(
+        grid=dict(_TPU_GRID, interp="tet"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4),
     ),
 }
 
 
-def run_variant(name, grid_over, tpu_over, frames, small, eval_every):
+def run_variant(name, overrides, frames, small, eval_every):
     import jax
     import jax.numpy as jnp
 
@@ -82,8 +84,10 @@ def run_variant(name, grid_over, tpu_over, frames, small, eval_every):
 
     cfg = load_config("configs/synthetic/textured.yaml", "configs/slam.yaml")
     cfg["synthetic"]["n_frames"] = frames
-    cfg["model"]["grid"].update(grid_over)
-    cfg["tpu"].update(tpu_over)
+    cfg["model"]["grid"].update(overrides.get("grid", {}))
+    cfg["model"]["pos"].update(overrides.get("pos", {}))
+    cfg["tpu"].update(overrides.get("tpu", {}))
+    cfg["training"].update(overrides.get("training", {}))
     cfg["verbose"] = False
     if small:
         cfg["cam"].update(H=170, W=300, fx=150.0, fy=150.0, cx=149.5, cy=84.5)
@@ -149,9 +153,8 @@ def main():
     args = ap.parse_args()
 
     if args.one:
-        grid_over, tpu_over = VARIANTS[args.one]
         r = run_variant(
-            args.one, grid_over, tpu_over, args.frames, args.small,
+            args.one, VARIANTS[args.one], args.frames, args.small,
             args.eval_every,
         )
         print("ABRESULT " + json.dumps(r), flush=True)

@@ -225,3 +225,27 @@ def test_tet_stochastic_corner_unbiased(rng):
     ge = np.asarray(table_grad(exact_spec)).sum((1, 2))
     gs = np.asarray(table_grad(sto_spec)).sum((1, 2))
     np.testing.assert_allclose(gs, ge, rtol=0.05)
+
+
+def test_oneblob_quartic_close_to_gaussian(rng):
+    pts = jnp.asarray(rng.uniform(0.05, 0.95, size=(64, 3)), jnp.float32)
+    g = np.asarray(oneblob_encode(pts, 16, "gaussian"))
+    q = np.asarray(oneblob_encode(pts, 16, "quartic"))
+    # both are unit-mass kernels with matched std; per-bin agreement ~1e-2
+    assert np.abs(g - q).max() < 0.05
+    # interior points (> sqrt(7)*sigma from the edges): the quartic's finite
+    # support puts ALL mass inside [0,1]
+    pts_in = jnp.asarray(rng.uniform(0.25, 0.75, size=(64, 3)), jnp.float32)
+    mass = np.asarray(oneblob_encode(pts_in, 16, "quartic"))
+    mass = mass.reshape(64, 3, 16).sum(-1)
+    np.testing.assert_allclose(mass, 1.0, atol=1e-5)
+
+
+def test_oneblob_quartic_gradients_finite(rng):
+    pts = jnp.asarray(rng.uniform(0.0, 1.0, size=(32, 3)), jnp.float32)
+
+    def f(p):
+        return jnp.sum(oneblob_encode(p, 16, "quartic") ** 2)
+
+    g = jax.grad(f)(pts)
+    assert np.isfinite(np.asarray(g)).all()

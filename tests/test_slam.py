@@ -380,3 +380,64 @@ def test_driver_keyframe_eviction_end_to_end():
     assert kf.frame_ids[0] == 0
     assert kf.frame_ids[-1] >= 10
     assert kf.frame_ids == sorted(kf.frame_ids)
+
+
+def test_map_fn_smooth_every_stride():
+    """smooth_every=k: TV term contributes only every k-th iteration, scaled
+    by k; the keystep stays finite and trains."""
+    import jax.numpy as jnp
+    from dnsjax.models.decoder import DecoderSpec, init_decoder_params
+    from dnsjax.models.encoder import init_encoder_params, encode_images
+    from dnsjax.ops.hashgrid import HashGridSpec
+    from dnsjax.geometry.se3 import tensor_from_camera
+    from dnsjax.slam.mapper import MapConfig, _build_loss_fn
+    from dnsjax.slam.sampling import class_sorted_pixels
+
+    H, W, T, C = 24, 32, 2, 4
+    spec = DecoderSpec(n_class=C, grid=HashGridSpec(4, 2, 10, 4, 32), n_bins=16)
+    params = init_decoder_params(jax.random.PRNGKey(0), spec)
+    bound = jnp.asarray([[-2.2, 2.2], [-2.2, 2.2], [-2.2, 2.2]])
+    cfg = MapConfig(
+        H=H, W=W, fx=16.0, fy=16.0, cx=15.5, cy=11.5,
+        n_pixels=60, n_samples=8, n_surface=4, smooth_pts=6, smooth_every=3,
+    )
+    rng = np.random.default_rng(0)
+    colors = jnp.asarray(rng.uniform(size=(T, H, W, 3)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(0.5, 3.0, size=(T, H, W)).astype(np.float32))
+    labels_np = rng.integers(0, C, size=(T, H, W)).astype(np.int32)
+    si, off = zip(*(class_sorted_pixels(l, C) for l in labels_np))
+    est = jnp.tile(jnp.eye(4), (T, 1, 1))
+    enc = init_encoder_params(0)
+    feats = encode_images(
+        enc, jnp.broadcast_to(colors[:, None], (T, 3, H, W, 3))
+    )
+    window = {
+        "colors": colors, "depths": depths, "labels": jnp.asarray(labels_np),
+        "sorted_idx": jnp.stack([jnp.asarray(x) for x in si]),
+        "offsets": jnp.stack([jnp.asarray(x) for x in off]),
+        "refer_feats": feats,
+        "refer_fixed_c2w": jnp.broadcast_to(est[:, None], (T, 3, 4, 4)),
+        "refer_src": jnp.full((T, 3), -1, jnp.int32),
+        "pose_train": jnp.ones(T),
+        "bound": bound,
+        "lt_gate_iter": jnp.asarray(-1, jnp.int32),
+    }
+    t7 = tensor_from_camera(est)
+    loss_fn = _build_loss_fn(spec, cfg, T, jnp.float32)
+    opt_params = (params, t7[:, :4], t7[:, 4:])
+    key = jax.random.PRNGKey(1)
+    _, aux0 = loss_fn(opt_params, key, jnp.asarray(0), window)
+    _, aux1 = loss_fn(opt_params, key, jnp.asarray(1), window)
+    _, aux3 = loss_fn(opt_params, key, jnp.asarray(3), window)
+    assert float(aux1["sm_loss"]) == 0.0          # off-iteration skipped
+    assert float(aux0["sm_loss"]) > 0.0           # on-iteration contributes
+    # same key, same subgrid: stride-3 value is 3x the every-iter value
+    cfg1 = MapConfig(
+        H=H, W=W, fx=16.0, fy=16.0, cx=15.5, cy=11.5,
+        n_pixels=60, n_samples=8, n_surface=4, smooth_pts=6, smooth_every=1,
+    )
+    loss1 = _build_loss_fn(spec, cfg1, T, jnp.float32)
+    _, aux_ref = loss1(opt_params, key, jnp.asarray(0), window)
+    np.testing.assert_allclose(
+        float(aux0["sm_loss"]), 3.0 * float(aux_ref["sm_loss"]), rtol=1e-5
+    )
