@@ -66,33 +66,34 @@ def main():
     from dnsjax.geometry.se3 import tensor_from_camera
     from dnsjax.models.decoder import DecoderSpec, init_decoder_params
     from dnsjax.models.encoder import init_encoder_params, encode_images
-    from dnsjax.ops.hashgrid import HashGridSpec
     from dnsjax.slam.mapper import MapConfig, make_map_fn
     from dnsjax.slam.sampling import class_sorted_pixels
 
     rng = np.random.default_rng(0)
     fx = W / 2.0
     cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
-    bound = jnp.asarray([[-2.9, 8.9], [-3.2, 5.5], [-3.5, 3.3]])  # room_0
-    dim_max = float((bound[:, 1] - bound[:, 0]).max())
+    bound_np = np.asarray([[-2.9, 8.9], [-3.2, 5.5], [-3.5, 3.3]])  # room_0
+    bound = jnp.asarray(bound_np)
 
-    # TPU grid profile (configs/slam.yaml model.grid): same 32-dim encoding
-    # class as the reference's 16x2 tcnn config, reshaped for per-row-bound
-    # TPU gathers; quality-gated on the textured scene by
-    # scripts/ab_quality.py (AB_QUALITY.md). Reference-parity 16x2 trilinear
-    # remains available via model.grid config.
-    spec = DecoderSpec(
-        n_class=N_CLASS,
-        grid=HashGridSpec(4, 8, 16, 16, int(dim_max / 0.02), grad_corners=1,
-                          gather_bf16=True),
-        n_bins=16,
-    )
+    # Model/profile knobs come from the ACTUAL config stack (Replica defaults
+    # + slam.yaml TPU profile) so quality-gated default changes
+    # (scripts/ab_quality.py -> configs/slam.yaml) flow into the bench
+    # automatically. Reference-parity 16x2 trilinear stays config-reachable.
+    from dnsjax.config import load_config
+
+    cfg = load_config("configs/replica/replica.yaml", "configs/slam.yaml")
+    spec = DecoderSpec.from_config(cfg, bound_np, N_CLASS)
+    tpu_cfg = cfg.get("tpu", {})
+    trn = cfg["training"]
+    feature_taps = int(tpu_cfg.get("feature_taps", 4))
     params = init_decoder_params(jax.random.PRNGKey(0), spec)
     enc = init_encoder_params(0)
     mcfg = MapConfig(
         H=H, W=W, fx=fx, fy=fx, cx=cx, cy=cy,
         n_pixels=N_PIXELS, n_samples=N_SAMPLES, n_surface=N_SURFACE,
-        smooth_pts=33, feature_taps=1,
+        smooth_pts=int(trn.get("smooth_pts", 33)),
+        smooth_every=int(trn.get("smooth_every", 1)),
+        feature_taps=feature_taps,
     )
     map_fn = make_map_fn(spec, mcfg, N_TARGET, N_ITERS)
 
@@ -144,7 +145,7 @@ def main():
     tcfg = TrackConfig(
         H=H, W=W, fx=fx, fy=fx, cx=cx, cy=cy,
         n_iters=50, n_pixels=500, n_samples=N_SAMPLES, n_surface=N_SURFACE,
-        ignore_edge=20, feature_taps=1,
+        ignore_edge=20, feature_taps=feature_taps,
     )
     track_fn = make_track_fn(spec, tcfg)
     tfeats = encode_images(enc, jnp.broadcast_to(colors[0][None], (2, H, W, 3)))
