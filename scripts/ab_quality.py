@@ -164,7 +164,14 @@ def main():
     # worker occasionally crashes mid-run and must not kill the whole sweep
     import subprocess
 
+    # merge with prior results so the sweep can be run variant-by-variant
     results = {}
+    if os.path.exists("ab_quality.json"):
+        try:
+            with open("ab_quality.json") as f:
+                results = json.load(f)
+        except Exception:
+            results = {}
     for name in args.variants.split(","):
         print(f"== {name} ==", flush=True)
         cmd = [
