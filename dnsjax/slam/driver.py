@@ -144,6 +144,9 @@ class DNSSLAM:
         # on overflow: "redundant" evicts the most pose-redundant keyframe
         # (never the oldest anchor or the latest), "skip" drops the new frame
         self.kf_eviction = str(mp.get("kf_eviction", "redundant"))
+        # bound single-dispatch length (see mapper.make_map_fn chunk);
+        # 0 = whole keystep in one dispatch
+        self.max_iters_per_dispatch = int(mp.get("max_iters_per_dispatch", 0))
 
         self.estimate_c2w = np.tile(np.eye(4, dtype=np.float32), (self.n_img, 1, 1))
         self.gt_c2w = np.tile(np.eye(4, dtype=np.float32), (self.n_img, 1, 1))
@@ -209,6 +212,17 @@ class DNSSLAM:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _chunk_for(self, n_iters: int) -> int:
+        """Largest divisor of n_iters that fits max_iters_per_dispatch
+        (0 = no chunking)."""
+        m = self.max_iters_per_dispatch
+        if m <= 0 or n_iters <= m:
+            return 0
+        for c in range(m, 0, -1):
+            if n_iters % c == 0:
+                return c
+        return 0
+
     def _map_fn(self, n_target: int, n_iters: int):
         k = (n_target, n_iters)
         if k not in self._map_fns:
@@ -222,7 +236,7 @@ class DNSSLAM:
             else:
                 self._map_fns[k] = make_map_fn(
                     self.spec, self.map_cfg, n_target, n_iters,
-                    self.compute_dtype,
+                    self.compute_dtype, chunk=self._chunk_for(n_iters),
                 )
         return self._map_fns[k]
 

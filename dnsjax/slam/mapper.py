@@ -273,9 +273,21 @@ def make_map_fn(
     n_target: int,
     n_iters: int,
     compute_dtype=jnp.bfloat16,
+    chunk: int = 0,
 ):
     """Build the jitted mapping keystep for a window of ``n_target`` frames
-    (see _build_loss_fn for the window layout)."""
+    (see _build_loss_fn for the window layout).
+
+    ``chunk``: max optimization iterations per device dispatch. 0 (default)
+    runs the whole keystep as one ``lax.scan`` dispatch. A positive chunk
+    (must divide n_iters) splits the keystep into n_iters/chunk dispatches
+    carrying the Adam state and the per-iteration PRNG keys across them —
+    the optimization trajectory is IDENTICAL (same keys, same Adam state,
+    same iteration indices for the lt gate); only the dispatch length is
+    bounded. Needed for slow configs on remote/preemptible workers that kill
+    long single dispatches (e.g. the reference-parity 8-corner profile at
+    the 680x1200 gate shape: ~0.9 s/iter -> a 100-iter dispatch exceeds the
+    worker's tolerance; see mapping.max_iters_per_dispatch)."""
     loss_fn = _build_loss_fn(spec, cfg, n_target, compute_dtype)
     opt = optax.multi_transform(
         {
@@ -285,10 +297,7 @@ def make_map_fn(
         ("net", "pose", "pose"),
     )
 
-    @jax.jit
-    def map_step(params, quads0, Ts0, window, key):
-        opt_params = (params, quads0, Ts0)
-        opt_state = opt.init(opt_params)
+    def scan_iters(opt_params, opt_state, window, its, keys):
         pose_train = window["pose_train"]  # (T,)
 
         def step(carry, xs):
@@ -304,14 +313,51 @@ def make_map_fn(
             opt_params = optax.apply_updates(opt_params, updates)
             return (opt_params, opt_state), (loss, aux)
 
+        return jax.lax.scan(step, (opt_params, opt_state), (its, keys))
+
+    if chunk <= 0 or chunk >= n_iters:
+
+        @jax.jit
+        def map_step(params, quads0, Ts0, window, key):
+            opt_params = (params, quads0, Ts0)
+            opt_state = opt.init(opt_params)
+            keys = jax.random.split(key, n_iters)
+            its = jnp.arange(n_iters)
+            (opt_params, _), (losses, auxs) = scan_iters(
+                opt_params, opt_state, window, its, keys
+            )
+            params, quads, Ts = opt_params
+            final_aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
+            final_aux["losses"] = losses
+            return params, quads, Ts, final_aux
+
+        return map_step
+
+    if n_iters % chunk != 0:
+        raise ValueError(f"chunk {chunk} must divide n_iters {n_iters}")
+
+    @jax.jit
+    def chunk_step(opt_params, opt_state, window, its, keys):
+        (opt_params, opt_state), (losses, auxs) = scan_iters(
+            opt_params, opt_state, window, its, keys
+        )
+        final_aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
+        return opt_params, opt_state, losses, final_aux
+
+    def map_step(params, quads0, Ts0, window, key):
+        opt_params = (params, quads0, Ts0)
+        opt_state = opt.init(opt_params)
         keys = jax.random.split(key, n_iters)
         its = jnp.arange(n_iters)
-        (opt_params, _), (losses, auxs) = jax.lax.scan(
-            step, (opt_params, opt_state), (its, keys)
-        )
+        loss_parts, final_aux = [], None
+        for c in range(n_iters // chunk):
+            s = slice(c * chunk, (c + 1) * chunk)
+            opt_params, opt_state, losses, final_aux = chunk_step(
+                opt_params, opt_state, window, its[s], keys[s]
+            )
+            loss_parts.append(losses)
         params, quads, Ts = opt_params
-        final_aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
-        final_aux["losses"] = losses
+        final_aux["losses"] = jnp.concatenate(loss_parts)
         return params, quads, Ts, final_aux
 
     return map_step

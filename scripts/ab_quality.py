@@ -35,6 +35,11 @@ VARIANTS = {
         grid=dict(n_levels=16, level_dim=2, grad_corners=8, gather_bf16=False,
                   interp="trilinear", grad_levels=0),
         tpu=dict(compute_dtype="float32", feature_taps=4),
+        # ~0.9 s/iter at this shape: a 100-iter single dispatch exceeds the
+        # remote worker's tolerance and kills it (bisected by
+        # scripts/probe_parity.py); bound dispatches to 25 iterations —
+        # mathematically identical trajectory (mapper.make_map_fn chunk)
+        mapping=dict(max_iters_per_dispatch=25),
     ),
     "r1-tpu": dict(grid=dict(_TPU_GRID), tpu=dict(feature_taps=1)),
     "tet4x8": dict(
@@ -88,6 +93,7 @@ def run_variant(name, overrides, frames, small, eval_every):
     cfg["model"]["pos"].update(overrides.get("pos", {}))
     cfg["tpu"].update(overrides.get("tpu", {}))
     cfg["training"].update(overrides.get("training", {}))
+    cfg["mapping"].update(overrides.get("mapping", {}))
     cfg["verbose"] = False
     if small:
         cfg["cam"].update(H=170, W=300, fx=150.0, fy=150.0, cx=149.5, cy=84.5)
