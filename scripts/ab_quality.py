@@ -71,6 +71,17 @@ VARIANTS = {
         pos=dict(kernel="quartic"),
         training=dict(smooth_every=4),
     ),
+    # attribution singles for the bundle above
+    "tet4x8-quartic": dict(
+        grid=dict(_TPU_GRID, interp="tet"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+    ),
+    "tet4x8-sm4": dict(
+        grid=dict(_TPU_GRID, interp="tet"),
+        tpu=dict(feature_taps=1),
+        training=dict(smooth_every=4),
+    ),
 }
 
 
