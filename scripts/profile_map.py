@@ -47,12 +47,15 @@ def main():
     cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
     bound = jnp.asarray([[-2.9, 8.9], [-3.2, 5.5], [-3.5, 3.3]])
     dim_max = float((bound[:, 1] - bound[:, 0]).max())
+    import sys
+    interp = sys.argv[1] if len(sys.argv) > 1 else "tet"
     spec = DecoderSpec(
         n_class=N_CLASS,
         grid=HashGridSpec(4, 8, 16, 16, int(dim_max / 0.02), grad_corners=1,
-                          gather_bf16=True),
+                          gather_bf16=True, interp=interp),
         n_bins=16,
     )
+    print(f"profile: interp={interp}")
     params = init_decoder_params(jax.random.PRNGKey(0), spec)
     mcfg = MapConfig(
         H=H, W=W, fx=fx, fy=fx, cx=cx, cy=cy,
@@ -91,9 +94,10 @@ def main():
     # 2. hash encode fwd+bwd (grad wrt table + pts)
     def enc_loss(t, p):
         return jnp.sum(hash_encode(t, p, spec.grid) ** 2)
-    run = scan_sink(
-        lambda k, t, p: jax.value_and_grad(enc_loss)(t, p + k[0] * 0.0)[0]
-    )
+    def enc_bwd(k, t, p):
+        l, g = jax.value_and_grad(enc_loss, argnums=(0, 1))(t, p + k[0] * 0.0)
+        return l + jnp.vdot(g[0], g[0]) + jnp.vdot(g[1], g[1])
+    run = scan_sink(enc_bwd)
     timed("hash_encode fwd+bwd", run, table, p01)
 
     # 3. pos_encode (oneblob + hash) fwd
@@ -111,9 +115,11 @@ def main():
     timed("render_fine fwd", run, params, pts)
 
     # 5. render_fine fwd+bwd
-    run = scan_sink(
-        lambda k, pr, pts_: jax.value_and_grad(rf)(pr, pts_ + k[0] * 0.0)[0]
-    )
+    def rf_bwd(k, pr, pts_):
+        l, g = jax.value_and_grad(rf, argnums=(0, 1))(pr, pts_ + k[0] * 0.0)
+        gsum = sum(jnp.vdot(x, x) for x in jax.tree_util.tree_leaves(g))
+        return l + gsum
+    run = scan_sink(rf_bwd)
     timed("render_fine fwd+bwd", run, params, pts)
 
     # 6. feature matching fwd (3 views)
@@ -125,16 +131,22 @@ def main():
         return jnp.sum(c ** 2)
     run = scan_sink(lambda k, pr, pts_: fm(pr, pts_ + k[0] * 0.0))
     timed("match_features fwd (3 views)", run, params, pts)
-    run = scan_sink(
-        lambda k, pr, pts_: jax.value_and_grad(fm)(pr, pts_ + k[0] * 0.0)[0]
-    )
+    def fm_bwd(k, pr, pts_):
+        l, g = jax.value_and_grad(fm, argnums=(0, 1))(pr, pts_ + k[0] * 0.0)
+        gsum = sum(jnp.vdot(x, x) for x in jax.tree_util.tree_leaves(g))
+        return l + gsum
+    run = scan_sink(fm_bwd)
     timed("match_features fwd+bwd", run, params, pts)
 
     # 7. smoothness grid occ (33^3 = 36k pts, encode + coarse)
     def sm(pr, k):
         occ = smoothness_grid_occ(pr, spec, bound, k, mcfg, jnp.bfloat16)
         return jnp.sum(occ ** 2)
-    run = scan_sink(lambda k, pr: jax.value_and_grad(sm)(pr, k)[0])
+    def sm_bwd(k, pr):
+        l, g = jax.value_and_grad(sm)(pr, k)
+        gsum = sum(jnp.vdot(x, x) for x in jax.tree_util.tree_leaves(g))
+        return l + gsum
+    run = scan_sink(sm_bwd)
     timed("smoothness fwd+bwd (36k pts)", run, params)
 
     # 8. full loss fwd+bwd (sampling + features + render + 7 losses)
@@ -162,13 +174,14 @@ def main():
     t7 = tensor_from_camera(est)
     quads, Ts = t7[:, :4], t7[:, 4:]
 
-    def full(pr, q, tt, k):
+    def full(k, pr, q, tt, win):
         (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            (pr, q, tt), k, jnp.asarray(0), window
+            (pr, q, tt), k, jnp.asarray(0), win
         )
-        return l + jnp.vdot(g[1], g[1])
-    run = scan_sink(lambda k, pr: full(pr, quads, Ts, k))
-    timed("FULL loss fwd+bwd", run, params)
+        gsum = sum(jnp.vdot(x, x) for x in jax.tree_util.tree_leaves(g))
+        return l + gsum
+    run = scan_sink(full)
+    timed("FULL loss fwd+bwd", run, params, quads, Ts, window)
 
 
 if __name__ == "__main__":

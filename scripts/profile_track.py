@@ -97,10 +97,10 @@ def main(interp="trilinear", n_levels=4, level_dim=8, oneblob_kernel="gaussian")
 
     def enc_pos_loss(p, t):
         return jnp.sum(hash_encode(t, p, spec.grid) ** 2)
-    run = scan_sink(
-        lambda k, t, p: jax.value_and_grad(enc_pos_loss)(p + k[0] * 0.0, t)[0]
-        + 0.0
-    )
+    def enc_bwd(k, t, p):
+        l, g = jax.value_and_grad(enc_pos_loss)(p + k[0] * 0.0, t)
+        return l + jnp.vdot(g, g)
+    run = scan_sink(enc_bwd)
     timed("hash_encode fwd + pos-bwd", run, table, p01)
 
     # feature matching, 2 views (refer + current), fwd + pose-relevant bwd
@@ -112,9 +112,10 @@ def main(interp="trilinear", n_levels=4, level_dim=8, oneblob_kernel="gaussian")
         c = match_features(params, pts_.reshape(-1, 3), w2c, feats, cam,
                            bound, spec, jnp.bfloat16, taps=1)
         return jnp.sum(c.astype(jnp.float32) ** 2)
-    run = scan_sink(
-        lambda k, pts_: jax.value_and_grad(fm)(pts_ + k[0] * 0.0)[0]
-    )
+    def fm_bwd(k, pts_):
+        l, g = jax.value_and_grad(fm)(pts_ + k[0] * 0.0)
+        return l + jnp.vdot(g, g)
+    run = scan_sink(fm_bwd)
     timed("match_features 2 views fwd+bwd", run, pts)
 
     # coarse render fwd + pose backward (grads wrt pts/z/rays_d only)
@@ -122,9 +123,10 @@ def main(interp="trilinear", n_levels=4, level_dim=8, oneblob_kernel="gaussian")
         out = render_coarse(params, spec, pts_, z_, rd_, code, bound,
                             jnp.bfloat16)
         return jnp.sum(out.color ** 2) + jnp.sum(out.depth ** 2)
-    run = scan_sink(
-        lambda k, pts_: jax.value_and_grad(rc)(pts_ + k[0] * 0.0, z, rays_d)[0]
-    )
+    def rc_bwd(k, pts_):
+        l, g = jax.value_and_grad(rc)(pts_ + k[0] * 0.0, z, rays_d)
+        return l + jnp.vdot(g, g)
+    run = scan_sink(rc_bwd)
     timed("render_coarse fwd+bwd(pts)", run, pts)
 
     # FULL tracking frame (50 iters, patience off) — ms/frame and FPS
