@@ -202,11 +202,13 @@ def _build_loss_fn(
             c2w_live = c2w_live[window["pose_src"]]
 
         keys = jax.random.split(k_t, T)
-        per = [
-            sample_target(params, keys[t], c2w_live, t, window) for t in range(T)
-        ]
+        # one batched assembly instead of T unrolled small-op chains (same
+        # math and keys; vmap keeps XLA from scheduling T tiny pipelines)
+        per = jax.vmap(
+            lambda key, t: sample_target(params, key, c2w_live, t, window)
+        )(keys, jnp.arange(T))
         gt_c, gt_d, gt_l, rays_d, z, pts, code, inside = (
-            jnp.concatenate([p[k] for p in per], 0) for k in range(8)
+            p.reshape((T * n_ray,) + p.shape[2:]) for p in per
         )
 
         out = render_fine(
