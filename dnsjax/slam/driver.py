@@ -152,7 +152,14 @@ class DNSSLAM:
         self.gt_c2w = np.tile(np.eye(4, dtype=np.float32), (self.n_img, 1, 1))
 
         # compiled programs (map fns cached per window size)
-        self.track_fn = make_track_fn(self.spec, self.track_cfg, self.compute_dtype)
+        track_mesh = None
+        if self.dp_devices > 1:
+            from dnsjax.parallel.mesh import ray_mesh
+
+            track_mesh = ray_mesh(self.dp_devices)
+        self.track_fn = make_track_fn(
+            self.spec, self.track_cfg, self.compute_dtype, mesh=track_mesh
+        )
         self._map_fns: Dict[Any, Any] = {}
         self.decoder_init_fn = make_decoder_init_fn(
             self.spec, self.map_cfg, compute_dtype=self.compute_dtype

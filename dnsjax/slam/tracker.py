@@ -98,11 +98,20 @@ def make_pose_optimizer(cfg: TrackConfig) -> optax.GradientTransformation:
     return optax.adam(sched(cfg.cam_lr))
 
 
-def make_track_fn(spec: DecoderSpec, cfg: TrackConfig, compute_dtype=jnp.bfloat16):
+def make_track_fn(
+    spec: DecoderSpec, cfg: TrackConfig, compute_dtype=jnp.bfloat16, mesh=None,
+):
     """Build the jitted per-frame tracking function.
 
     Returns track(params, enc_feats, refer_w2c, color, depth, label, quad0,
     T0, bound, key) -> (best_quad, best_T, metrics dict).
+
+    ``mesh``: optional 1-D jax.sharding.Mesh with axis 'dp'. When given, the
+    pose optimization is data-parallel over rays: every device samples its
+    own cfg.n_pixels rays (per-device PRNG fold) and losses/gradients are
+    pmean'd each iteration before the identical replicated Adam update and
+    min-loss-candidate bookkeeping — equivalent to one n_devices*n_pixels
+    ray batch per iteration (same design as parallel.mesh.make_map_fn_dp).
     """
     opt = make_pose_optimizer(cfg)
     S = cfg.n_samples + cfg.n_surface
@@ -156,19 +165,26 @@ def make_track_fn(spec: DecoderSpec, cfg: TrackConfig, compute_dtype=jnp.bfloat1
         loss = cfg.lambda_p * p + cfg.lambda_d * d + cfg.lambda_l * l
         return loss, (p, d)
 
-    @jax.jit
-    def track(params, enc_feats, refer_w2c, color, depth, label, quad0, T0, bound, key):
+    def track_body(params, enc_feats, refer_w2c, color, depth, label, quad0, T0, bound, key):
         colorf = color.reshape(-1, 3)
         depthf = depth.reshape(-1)
         labelf = label.reshape(-1)
         qt0 = (quad0, T0)
         opt_state = opt.init(qt0)
+        if mesh is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
         keys = jax.random.split(key, cfg.n_iters)
 
         def one_iter(qt, opt_state, best_loss, best_qt, best_pd, key):
             (loss, pd), g = jax.value_and_grad(loss_fn, has_aux=True)(
                 qt, params, enc_feats, refer_w2c, colorf, depthf, labelf, bound, key
             )
+            if mesh is not None:
+                loss = jax.lax.pmean(loss, "dp")
+                pd = jax.tree_util.tree_map(
+                    lambda a: jax.lax.pmean(a, "dp"), pd
+                )
+                g = jax.tree_util.tree_map(lambda a: jax.lax.pmean(a, "dp"), g)
             # min-loss candidate is the pose *at which* the loss was
             # evaluated, before this update (reference: tracking.py:331-336)
             better = loss < best_loss
@@ -227,7 +243,20 @@ def make_track_fn(spec: DecoderSpec, cfg: TrackConfig, compute_dtype=jnp.bfloat1
         }
         return best_quad, best_T, metrics
 
-    return track
+    if mesh is None:
+        return jax.jit(track_body)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sharded = shard_map(
+        track_body,
+        mesh=mesh,
+        in_specs=(P(),) * 10,
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def pose_init_const_velocity(
