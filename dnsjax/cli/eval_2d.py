@@ -62,10 +62,17 @@ def main(argv=None):
     enc = init_encoder_params(int(cfg.get("seed", 0)))
 
     trn = cfg["training"]
+    eval_mesh = None
+    dp = min(int(cfg.get("tpu", {}).get("data_parallel", 1)), len(jax.devices()))
+    if dp > 1:
+        from dnsjax.parallel.mesh import ray_mesh
+
+        eval_mesh = ray_mesh(dp)
     renderer = make_full_renderer(
         spec,
         dict(H=ds.H, W=ds.W, fx=ds.fx, fy=ds.fy, cx=ds.cx, cy=ds.cy),
         int(trn["n_samples_ray"]), int(trn["n_surface_ray"]),
+        mesh=eval_mesh,
     )
     bound_j = jnp.asarray(bound)
     est = ckpt["estimate_c2w"]

@@ -28,16 +28,23 @@ def make_full_renderer(
     n_surface: int,
     chunk: int = 4096,
     compute_dtype=jnp.bfloat16,
+    mesh=None,
 ):
     """Returns render_frame(params, c2w, gt_depth, gt_label, refer_w2c,
     refer_feats, bound, key) -> (color (H,W,3), depth (H,W), logits (H,W,C)).
 
     Class dispatch uses the frame's GT labels, as the reference does for
     visualization and eval (mapping.py:686, 613).
+
+    ``mesh``: optional 1-D jax.sharding.Mesh with axis 'dp' — the ray
+    chunks are split across devices (params/frame replicated, no
+    collectives), the multi-chip path for vis/eval full-frame renders.
     """
     H, W = int(cam["H"]), int(cam["W"])
     n = H * W
-    n_pad = (n + chunk - 1) // chunk * chunk
+    n_dev = 1 if mesh is None else mesh.devices.size
+    step = chunk * n_dev
+    n_pad = (n + step - 1) // step * step
     n_chunks = n_pad // chunk
     S = n_samples + n_surface
 
@@ -58,25 +65,41 @@ def make_full_renderer(
                 [x, jnp.zeros((n_pad - n,) + x.shape[1:], x.dtype)], 0
             ).reshape(n_chunks, chunk, *x.shape[1:])
 
-        def body(args):
-            ro, rd, zc, lb, gd = args
-            pts = ro[:, None, :] + rd[:, None, :] * zc[:, :, None]
-            code = match_features(
-                params, pts.reshape(-1, 3), refer_w2c, refer_feats,
-                cam, bound, spec, compute_dtype,
-            ).reshape(chunk, S, -1)
-            front = zc < gd[:, None] * 0.95
-            back = zc > gd[:, None] * 1.05
-            trunc = (~front) & (~back) & (gd[:, None] > 0)
-            code = code * trunc[..., None]
-            out = render_fine(
-                params, spec, pts, zc, rd, lb, code, bound, compute_dtype
-            )
-            return out.color, out.depth, out.logits
+        def chunk_loop(params, refer_w2c, refer_feats, bound, padded):
+            def body(args):
+                ro, rd, zc, lb, gd = args
+                pts = ro[:, None, :] + rd[:, None, :] * zc[:, :, None]
+                code = match_features(
+                    params, pts.reshape(-1, 3), refer_w2c, refer_feats,
+                    cam, bound, spec, compute_dtype,
+                ).reshape(chunk, S, -1)
+                front = zc < gd[:, None] * 0.95
+                back = zc > gd[:, None] * 1.05
+                trunc = (~front) & (~back) & (gd[:, None] > 0)
+                code = code * trunc[..., None]
+                out = render_fine(
+                    params, spec, pts, zc, rd, lb, code, bound, compute_dtype
+                )
+                return out.color, out.depth, out.logits
 
-        color, depth, logits = jax.lax.map(
-            body, (pad(rays_o), pad(rays_d), pad(z), pad(labelf), pad(depthf))
-        )
+            return jax.lax.map(body, padded)
+
+        padded = (pad(rays_o), pad(rays_d), pad(z), pad(labelf), pad(depthf))
+        if mesh is None:
+            color, depth, logits = chunk_loop(
+                params, refer_w2c, refer_feats, bound, padded
+            )
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            color, depth, logits = shard_map(
+                chunk_loop,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P("dp")),
+                out_specs=(P("dp"), P("dp"), P("dp")),
+                check_vma=False,
+            )(params, refer_w2c, refer_feats, bound, padded)
         color = color.reshape(-1, 3)[:n].reshape(H, W, 3)
         depth = depth.reshape(-1)[:n].reshape(H, W)
         logits = logits.reshape(-1, spec.n_class)[:n].reshape(H, W, spec.n_class)

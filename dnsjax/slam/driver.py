@@ -528,11 +528,17 @@ class DNSSLAM:
 
         if not hasattr(self, "_full_renderer"):
             ds = self.dataset
+            vis_mesh = None
+            if self.dp_devices > 1:
+                from dnsjax.parallel.mesh import ray_mesh
+
+                vis_mesh = ray_mesh(self.dp_devices)
             self._full_renderer = make_full_renderer(
                 self.spec,
                 dict(H=ds.H, W=ds.W, fx=ds.fx, fy=ds.fy, cx=ds.cx, cy=ds.cy),
                 self.map_cfg.n_samples, self.map_cfg.n_surface,
                 compute_dtype=self.compute_dtype,
+                mesh=vis_mesh,
             )
         K = self.keyframes.count
         cur_c2w = jnp.asarray(self.estimate_c2w[idx])

@@ -132,3 +132,39 @@ def test_track_fn_dp_runs_and_converges():
     assert np.isfinite(float(metrics["best_loss"]))
     # replicated outputs: all devices agree (single logical value)
     assert quad.shape == (4,) and T.shape == (3,)
+
+
+def test_full_renderer_dp_matches_single():
+    """Sharded full-frame render equals the single-device render."""
+    from dnsjax.data.synthetic import SyntheticDataset, synthetic_config
+    from dnsjax.geometry.se3 import invert_se3
+    from dnsjax.models.decoder import DecoderSpec, init_decoder_params
+    from dnsjax.models.encoder import init_encoder_params, encode_images
+    from dnsjax.ops.hashgrid import HashGridSpec
+    from dnsjax.parallel.mesh import ray_mesh
+    from dnsjax.render.full import make_full_renderer
+
+    H, W = 24, 32
+    cfg = synthetic_config(H=H, W=W, n_frames=2)
+    ds = SyntheticDataset(cfg)
+    spec = DecoderSpec(n_class=ds.n_class, grid=HashGridSpec(4, 2, 10, 4, 32),
+                       n_bins=16)
+    params = init_decoder_params(jax.random.PRNGKey(0), spec)
+    bound = jnp.asarray([[-2.2, 2.2], [-2.2, 2.2], [-2.2, 2.2]])
+    cam = dict(H=H, W=W, fx=ds.fx, fy=ds.fy, cx=ds.cx, cy=ds.cy)
+    f = ds[0]
+    enc = init_encoder_params(0)
+    feats = encode_images(enc, jnp.stack([jnp.asarray(f["color"])] * 3))
+    c2w = jnp.asarray(f["c2w"])
+    w2c = invert_se3(jnp.stack([c2w] * 3))
+    args = (params, c2w, jnp.asarray(f["depth"]), jnp.asarray(f["label"]),
+            w2c, feats, bound, jax.random.PRNGKey(5))
+
+    r1 = make_full_renderer(spec, cam, 8, 4, chunk=128, compute_dtype=jnp.float32)
+    r2 = make_full_renderer(spec, cam, 8, 4, chunk=128,
+                            compute_dtype=jnp.float32, mesh=ray_mesh(4))
+    o1 = r1(*args)
+    o2 = r2(*args)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
