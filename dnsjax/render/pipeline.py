@@ -83,8 +83,29 @@ def render_fine(
     N, S, _ = pts_w.shape
     p = normalize_pts(pts_w, bound).reshape(N * S, 3)
     pe, grid = pos_encode(params, p, spec)
-
     coarse_latents = coarse_apply(params, pe, grid, compute_dtype)  # (N*S, h+1)
+    return render_fine_pre(
+        params, spec, pe, grid, coarse_latents, z_vals, rays_d, classes,
+        pixel_code, compute_dtype,
+    )
+
+
+def render_fine_pre(
+    params: Dict[str, Any],
+    spec: DecoderSpec,
+    pe: jnp.ndarray,             # (N*S, pe_dim)
+    grid: jnp.ndarray,           # (N*S, grid_dim)
+    coarse_latents: jnp.ndarray, # (N*S, h+1)
+    z_vals: jnp.ndarray,         # (N, S)
+    rays_d: jnp.ndarray,         # (N, 3)
+    classes: jnp.ndarray,        # (N,)
+    pixel_code: jnp.ndarray,     # (N, S, h)
+    compute_dtype=jnp.bfloat16,
+) -> RenderOut:
+    """render_fine from precomputed encodings/coarse latents — lets callers
+    encode extra point sets (e.g. the TV-smoothness subgrid) in the SAME
+    fused encode+coarse pass as the ray samples (see mapper._build_loss_fn)."""
+    N, S = z_vals.shape
     fine_latents = fine_apply(
         params, classes, pe.reshape(N, S, -1), grid.reshape(N, S, -1), compute_dtype
     )  # (N, S, h+1)

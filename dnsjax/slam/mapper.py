@@ -88,10 +88,11 @@ class MapConfig:
         return dict(H=self.H, W=self.W, fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy)
 
 
-def smoothness_grid_occ(params, spec, bound, key, cfg: MapConfig, compute_dtype):
-    """Occupancy logits on a randomly-placed regular sub-grid (reference:
-    mapping.py:129-159): grid of (smooth_pts-1)^3 cells of smooth_voxel size,
-    jittered and offset randomly inside the bound."""
+def smoothness_grid_pts01(bound, key, cfg: MapConfig) -> jnp.ndarray:
+    """Bound-normalized points of the randomly-placed TV sub-grid
+    (reference: mapping.py:129-159): grid of (smooth_pts-1)^3 cells of
+    smooth_voxel size, jittered and offset randomly inside the bound.
+    Returns (g^3, 3) in [0,1]."""
     g = cfg.smooth_pts - 1
     k1, k2 = jax.random.split(key)
     extent = bound[:, 1] - bound[:, 0]
@@ -103,9 +104,14 @@ def smoothness_grid_occ(params, spec, bound, key, cfg: MapConfig, compute_dtype)
     coords = jnp.stack(jnp.meshgrid(ax, ax, ax, indexing="ij"), -1)  # (g,g,g,3)
     jitter = jax.random.uniform(k2, (1, 1, 1, 3))
     pts = (coords + jitter) * cfg.smooth_voxel + bound[:, 0] + offset
-    p01 = (pts - bound[:, 0]) / extent
+    return ((pts - bound[:, 0]) / extent).reshape(-1, 3)
 
-    pe, grid = pos_encode(params, p01.reshape(-1, 3), spec)
+
+def smoothness_grid_occ(params, spec, bound, key, cfg: MapConfig, compute_dtype):
+    """Occupancy logits on the TV sub-grid, (g,g,g)."""
+    g = cfg.smooth_pts - 1
+    p01 = smoothness_grid_pts01(bound, key, cfg)
+    pe, grid = pos_encode(params, p01, spec)
     occ = coarse_apply(params, pe, grid, compute_dtype)[:, 0]
     return occ.reshape(g, g, g)
 
@@ -215,19 +221,9 @@ def _build_loss_fn(
             params, spec, pts, z, rays_d, gt_l.astype(jnp.int32), code,
             window["bound"], compute_dtype,
         )
-
-        mask = inside
-        if "frame_valid" in window:
-            mask = mask & (jnp.repeat(window["frame_valid"], n_ray) > 0)
-        p_loss = photometric_loss(gt_c, out.color, mask)
-        d_loss = depth_l1_loss(gt_d, out.depth, mask)
-        l_loss = semantic_ce_loss(gt_l, out.logits, mask)
-        lt_loss = latent_distill_loss(
-            out.coarse_latents, out.fine_latents, mask[:, None, None]
-        )
         if cfg.smooth_every > 1:
             # lax.cond executes only the taken branch: off-iterations skip
-            # the 36k-point encode+MLP entirely; the k-scaling keeps the
+            # the subgrid encode+MLP entirely; the k-scaling keeps the
             # expected per-keystep penalty identical
             sm_loss = jax.lax.cond(
                 it % cfg.smooth_every == 0,
@@ -240,10 +236,24 @@ def _build_loss_fn(
                 None,
             )
         else:
+            # NOTE: folding the sub-grid into the ray batch's encode+coarse
+            # pass was tried and measured SLOWER (keystep 2.92 -> 3.05 s on
+            # v5e): the output slices copy ~50 MB/iter and the combined
+            # barrier-saved residuals grow; two separate passes win.
             occ_grid = smoothness_grid_occ(
                 params, spec, window["bound"], k_sm, cfg, compute_dtype
             )
             sm_loss = tv_smoothness_loss(occ_grid)
+
+        mask = inside
+        if "frame_valid" in window:
+            mask = mask & (jnp.repeat(window["frame_valid"], n_ray) > 0)
+        p_loss = photometric_loss(gt_c, out.color, mask)
+        d_loss = depth_l1_loss(gt_d, out.depth, mask)
+        l_loss = semantic_ce_loss(gt_l, out.logits, mask)
+        lt_loss = latent_distill_loss(
+            out.coarse_latents, out.fine_latents, mask[:, None, None]
+        )
         fs_loss, op_loss = freespace_opacity_loss(
             z, gt_d, out.fine_latents[..., 0], mask,
             truncation=cfg.truncation, sigma=cfg.opacity_sigma,
