@@ -200,6 +200,7 @@ def main():
             "bound": np.asarray(bound).tolist(),
             "marching_cubes_bound": np.asarray(bound).tolist(),
         },
+        "tpu": {"feature_taps": feature_taps},
     }
     mesher = Mesher(cfg, dict(H=H, W=W, fx=fx, fy=fx, cx=cx, cy=cy),
                     np.asarray(bound), spec, jnp.bfloat16)

@@ -32,7 +32,7 @@ from dnsjax.models.decoder import (
     pos_encode,
     fine_apply,
 )
-from dnsjax.models.features import bilinear_sample
+from dnsjax.models.features import bilinear_sample, nearest_sample
 
 
 class Mesher:
@@ -66,6 +66,10 @@ class Mesher:
         self.show_forecast = bool(m.get("show_forecast", False))
         self.bound_scale = float(m.get("clean_mesh_bound_scale", 1.02))
         self.mask_all_frames = bool(m.get("get_mask_use_all_frames", False))
+        # feature sampling taps, same knob as training (tpu.feature_taps):
+        # 1 = nearest half-res tap, 4 = bilinear. The keyframe feature
+        # gathers (K x B x taps rows per chunk) dominate the query cost.
+        self.feature_taps = int(cfg.get("tpu", {}).get("feature_taps", 4))
         scale = float(cfg.get("scale", 1))
         self.mc_bound = (
             np.asarray(
@@ -114,11 +118,19 @@ class Mesher:
                 Hf, Wf = feats.shape[0], feats.shape[1]
                 gx = u * ((Wf - 1.0) / (cam["W"] - 1.0))
                 gy = v * ((Hf - 1.0) / (cam["H"] - 1.0))
-                code = bilinear_sample(feats, gx, gy)  # (B,64)
-                # depth-truncation mask vs the keyframe's sensor depth
+                sampler = (
+                    bilinear_sample if self.feature_taps == 4 else nearest_sample
+                )
+                code = sampler(feats, gx, gy)  # (B,64)
+                # depth-truncation mask vs the keyframe's sensor depth;
+                # depth+label gathered as ONE two-channel row per point
+                # (gather cost is per-row on TPU)
                 ui = jnp.clip(u, 0, cam["W"] - 1).astype(jnp.int32)
                 vi = jnp.clip(v, 0, cam["H"] - 1).astype(jnp.int32)
-                kf_d = depth_img[vi, ui]
+                dl = jnp.stack(
+                    [depth_img, labels_img.astype(depth_img.dtype)], -1
+                )[vi, ui]  # (B, 2)
+                kf_d = dl[:, 0]
                 if self.depth_test:
                     # visibility requires the point to not be far behind the
                     # observed surface (reference: meshing.py:124-291;
@@ -134,7 +146,7 @@ class Mesher:
                 )  # (B,h)
                 code_sum = code_sum + merged * seen[:, None]
                 count = count + seen.astype(jnp.float32)
-                lab = labels_img.reshape(-1)[vi * 0 + (vi * cam["W"] + ui)]
+                lab = dl[:, 1].astype(jnp.int32)
                 label = jnp.where(seen, lab, label)
                 label_seen = label_seen | seen
                 return (code_sum, count, label, label_seen), None
