@@ -144,9 +144,15 @@ class DNSSLAM:
         # on overflow: "redundant" evicts the most pose-redundant keyframe
         # (never the oldest anchor or the latest), "skip" drops the new frame
         self.kf_eviction = str(mp.get("kf_eviction", "redundant"))
-        # bound single-dispatch length (see mapper.make_map_fn chunk);
-        # 0 = whole keystep in one dispatch
-        self.max_iters_per_dispatch = int(mp.get("max_iters_per_dispatch", 0))
+        # bound single-dispatch length (see mapper.make_map_fn chunk).
+        # Default = steady-state n_iters: the 500-iter first keystep then
+        # runs as 5 dispatches of the SAME compiled 100-iter program as the
+        # steady state (one XLA compile per run instead of two; trajectory
+        # identical). 0 = whole keystep in one dispatch.
+        self.max_iters_per_dispatch = int(
+            mp.get("max_iters_per_dispatch", self.n_iters)
+        )
+        self._chunk_cache: Dict[Any, Any] = {}
 
         self.estimate_c2w = np.tile(np.eye(4, dtype=np.float32), (self.n_img, 1, 1))
         self.gt_c2w = np.tile(np.eye(4, dtype=np.float32), (self.n_img, 1, 1))
@@ -244,6 +250,7 @@ class DNSSLAM:
                 self._map_fns[k] = make_map_fn(
                     self.spec, self.map_cfg, n_target, n_iters,
                     self.compute_dtype, chunk=self._chunk_for(n_iters),
+                    _chunk_cache=self._chunk_cache,
                 )
         return self._map_fns[k]
 

@@ -286,6 +286,7 @@ def make_map_fn(
     n_iters: int,
     compute_dtype=jnp.bfloat16,
     chunk: int = 0,
+    _chunk_cache: dict | None = None,
 ):
     """Build the jitted mapping keystep for a window of ``n_target`` frames
     (see _build_loss_fn for the window layout).
@@ -299,7 +300,13 @@ def make_map_fn(
     bounded. Needed for slow configs on remote/preemptible workers that kill
     long single dispatches (e.g. the reference-parity 8-corner profile at
     the 680x1200 gate shape: ~0.9 s/iter -> a 100-iter dispatch exceeds the
-    worker's tolerance; see mapping.max_iters_per_dispatch)."""
+    worker's tolerance; see mapping.max_iters_per_dispatch).
+
+    ``_chunk_cache``: optional dict shared across make_map_fn calls — the
+    jitted chunk program is cached per (n_target, chunk), so DIFFERENT
+    n_iters values (the 500-iter first keystep and the 100-iter steady
+    state, reference mapping.py:1020-1038) share ONE compiled program
+    instead of costing a 30-70 s XLA compile each."""
     loss_fn = _build_loss_fn(spec, cfg, n_target, compute_dtype)
     opt = optax.multi_transform(
         {
@@ -348,13 +355,24 @@ def make_map_fn(
     if n_iters % chunk != 0:
         raise ValueError(f"chunk {chunk} must divide n_iters {n_iters}")
 
-    @jax.jit
-    def chunk_step(opt_params, opt_state, window, its, keys):
-        (opt_params, opt_state), (losses, auxs) = scan_iters(
-            opt_params, opt_state, window, its, keys
-        )
-        final_aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
-        return opt_params, opt_state, losses, final_aux
+    # NOTE: the cache key assumes every sharing caller uses the same
+    # spec/cfg/compute_dtype (true within one driver); do not share a cache
+    # across differently-configured mappers.
+    cache_key = (n_target, chunk)
+    if _chunk_cache is not None and cache_key in _chunk_cache:
+        chunk_step = _chunk_cache[cache_key]
+    else:
+
+        @jax.jit
+        def chunk_step(opt_params, opt_state, window, its, keys):
+            (opt_params, opt_state), (losses, auxs) = scan_iters(
+                opt_params, opt_state, window, its, keys
+            )
+            final_aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
+            return opt_params, opt_state, losses, final_aux
+
+        if _chunk_cache is not None:
+            _chunk_cache[cache_key] = chunk_step
 
     def map_step(params, quads0, Ts0, window, key):
         opt_params = (params, quads0, Ts0)

@@ -503,3 +503,65 @@ def test_map_fn_chunked_matches_single_dispatch():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         make_map_fn(spec, cfg, T, 10, jnp.float32, chunk=3)
+
+
+def test_map_fn_chunk_cache_shares_program():
+    """Different n_iters with a shared cache reuse one jitted chunk program,
+    and the cached program still produces the exact unchunked trajectory."""
+    import jax.numpy as jnp
+    from dnsjax.models.decoder import DecoderSpec, init_decoder_params
+    from dnsjax.models.encoder import init_encoder_params, encode_images
+    from dnsjax.ops.hashgrid import HashGridSpec
+    from dnsjax.geometry.se3 import tensor_from_camera
+    from dnsjax.slam.mapper import MapConfig, make_map_fn
+    from dnsjax.slam.sampling import class_sorted_pixels
+
+    H, W, T, C = 24, 32, 2, 4
+    spec = DecoderSpec(n_class=C, grid=HashGridSpec(4, 2, 10, 4, 32), n_bins=16)
+    params = init_decoder_params(jax.random.PRNGKey(0), spec)
+    bound = jnp.asarray([[-2.2, 2.2], [-2.2, 2.2], [-2.2, 2.2]])
+    cfg = MapConfig(
+        H=H, W=W, fx=16.0, fy=16.0, cx=15.5, cy=11.5,
+        n_pixels=60, n_samples=8, n_surface=4, smooth_pts=6,
+    )
+    rng = np.random.default_rng(0)
+    colors = jnp.asarray(rng.uniform(size=(T, H, W, 3)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(0.5, 3.0, size=(T, H, W)).astype(np.float32))
+    labels_np = rng.integers(0, C, size=(T, H, W)).astype(np.int32)
+    si, off = zip(*(class_sorted_pixels(l, C) for l in labels_np))
+    est = jnp.tile(jnp.eye(4), (T, 1, 1))
+    enc = init_encoder_params(0)
+    feats = encode_images(
+        enc, jnp.broadcast_to(colors[:, None], (T, 3, H, W, 3))
+    )
+    window = {
+        "colors": colors, "depths": depths, "labels": jnp.asarray(labels_np),
+        "sorted_idx": jnp.stack([jnp.asarray(x) for x in si]),
+        "offsets": jnp.stack([jnp.asarray(x) for x in off]),
+        "refer_feats": feats,
+        "refer_fixed_c2w": jnp.broadcast_to(est[:, None], (T, 3, 4, 4)),
+        "refer_src": jnp.full((T, 3), -1, jnp.int32),
+        "pose_train": jnp.ones(T),
+        "bound": bound,
+        "lt_gate_iter": jnp.asarray(-1, jnp.int32),
+    }
+    t7 = tensor_from_camera(est)
+    key = jax.random.PRNGKey(9)
+
+    cache = {}
+    f10 = make_map_fn(spec, cfg, T, 10, jnp.float32, chunk=5,
+                      _chunk_cache=cache)
+    f20 = make_map_fn(spec, cfg, T, 20, jnp.float32, chunk=5,
+                      _chunk_cache=cache)
+    assert len(cache) == 1  # one shared program for both n_iters
+
+    f_ref = make_map_fn(spec, cfg, T, 10, jnp.float32)
+    _, q1, T1, a1 = f10(params, t7[:, :4], t7[:, 4:], window, key)
+    _, q2, T2, a2 = f_ref(params, t7[:, :4], t7[:, 4:], window, key)
+    np.testing.assert_allclose(np.asarray(a1["losses"]),
+                               np.asarray(a2["losses"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=1e-5)
+    # the 20-iter variant runs 4 chunks of the same cached program
+    _, _, _, a3 = f20(params, t7[:, :4], t7[:, 4:], window, key)
+    assert np.asarray(a3["losses"]).shape == (20,)
+    assert np.isfinite(np.asarray(a3["losses"])).all()
