@@ -20,8 +20,11 @@ def main(argv=None):
     parser.add_argument("--output", type=str, default=None, help="output dir override")
     parser.add_argument("--end-frame", type=int, default=None,
                         help="stop after this many frames (debug)")
-    parser.add_argument("--resume", type=str, default=None,
-                        help="checkpoint (.npz) to resume from")
+    parser.add_argument("--resume", type=str, nargs="?", const="latest",
+                        default=None,
+                        help="checkpoint (.npz) to resume from; bare "
+                             "--resume picks the newest model*.npz in the "
+                             "output dir")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -45,8 +48,18 @@ def main(argv=None):
     slam = DNSSLAM(cfg, output_dir=out)
     start = 0
     if args.resume:
-        start = slam.resume(args.resume)
-        print(f"resumed from {args.resume} at frame {start}")
+        ckpt = args.resume
+        if ckpt == "latest":
+            import glob
+
+            cands = sorted(
+                glob.glob(os.path.join(out, "model*.npz")), key=os.path.getmtime
+            )
+            if not cands:
+                parser.error(f"--resume: no model*.npz found in {out}")
+            ckpt = cands[-1]
+        start = slam.resume(ckpt)
+        print(f"resumed from {ckpt} at frame {start}")
     slam.run(end_frame=args.end_frame, start_frame=start)
 
 
