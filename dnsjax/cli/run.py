@@ -20,11 +20,12 @@ def main(argv=None):
     parser.add_argument("--output", type=str, default=None, help="output dir override")
     parser.add_argument("--end-frame", type=int, default=None,
                         help="stop after this many frames (debug)")
-    parser.add_argument("--resume", type=str, nargs="?", const="latest",
-                        default=None,
-                        help="checkpoint (.npz) to resume from; bare "
-                             "--resume picks the newest model*.npz in the "
-                             "output dir")
+    parser.add_argument("--resume", type=str, default=None, metavar="CKPT",
+                        help="checkpoint (.npz) to resume from")
+    parser.add_argument("--resume-latest", action="store_true",
+                        help="resume from the newest checkpoint in the "
+                             "output dir (model.npz if present, else the "
+                             "highest-numbered model_N.npz)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -47,17 +48,30 @@ def main(argv=None):
     )
     slam = DNSSLAM(cfg, output_dir=out)
     start = 0
-    if args.resume:
+    if args.resume or args.resume_latest:
         ckpt = args.resume
-        if ckpt == "latest":
+        if args.resume_latest:
+            # model.npz is the final save; otherwise highest embedded frame
+            # index wins (mtime alone can lie after a preserving copy).
             import glob
+            import re
 
-            cands = sorted(
-                glob.glob(os.path.join(out, "model*.npz")), key=os.path.getmtime
-            )
-            if not cands:
-                parser.error(f"--resume: no model*.npz found in {out}")
-            ckpt = cands[-1]
+            final = os.path.join(out, "model.npz")
+            if os.path.exists(final):
+                ckpt = final
+            else:
+                def frame_no(p):
+                    m = re.search(r"model_(\d+)\.npz$", p)
+                    return (int(m.group(1)) if m else -1, os.path.getmtime(p))
+
+                cands = sorted(
+                    glob.glob(os.path.join(out, "model*.npz")), key=frame_no
+                )
+                if not cands:
+                    parser.error(
+                        f"--resume-latest: no model*.npz found in {out}"
+                    )
+                ckpt = cands[-1]
         start = slam.resume(ckpt)
         print(f"resumed from {ckpt} at frame {start}")
     slam.run(end_frame=args.end_frame, start_frame=start)

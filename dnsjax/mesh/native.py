@@ -23,15 +23,18 @@ def _src_dir() -> str:
 
 
 def _build(src: str, out: str) -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", out, src],
-            check=True, capture_output=True, timeout=240,
-        )
-        return True
-    except Exception:
-        return False
+    # x86-64-v3 (AVX2/FMA baseline), not -march=native: the cached .so may
+    # be reused on a different host than the one that built it.
+    for arch in (["-march=x86-64-v3"], []):
+        try:
+            subprocess.run(
+                ["g++", "-O3", *arch, "-shared", "-fPIC", "-o", out, src],
+                check=True, capture_output=True, timeout=240,
+            )
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def load() -> Optional[ctypes.CDLL]:

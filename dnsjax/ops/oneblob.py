@@ -9,7 +9,7 @@ centered at x over each of the n_bins equal sub-intervals of [0, 1].
 Two kernels:
 * ``gaussian`` — exact Gaussian CDF (erf); the textbook definition.
 * ``quartic`` — Epanechnikov-squared kernel K(t) = 15/16 (1-t^2)^2 on
-  |t|<=1 (support scaled to 2*sigma), whose CDF is a closed-form quintic
+  |t|<=1 (support half-width sqrt(7)*sigma, so Var[K] = sigma^2 and the std matches the Gaussian), whose CDF is a closed-form quintic
   polynomial. This is what tcnn itself ships for GPU speed
   (tiny-cuda-nn encodings/oneblob.h: "quartic kernel instead of the
   Gaussian for performance"); on TPU it replaces ~51 erf

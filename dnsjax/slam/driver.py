@@ -127,6 +127,15 @@ class DNSSLAM:
 
         self.n_joint = int(mp["n_joint_optimize_frames"])
         self.n_refer = int(mp["n_refer_frames"])
+        if self.n_refer != 2:
+            # _refer_slots/_build_window implement the reference's fixed
+            # layout of 2 keyframe reference views + the target itself
+            # (mapping.py:312-326, 400-411); other counts would need a
+            # different window schema.
+            raise ValueError(
+                f"mapping.n_refer_frames={self.n_refer} unsupported; "
+                "only the reference default of 2 is implemented"
+            )
         self.optimize_every = int(mp["optimize_every_n_frames"])
         self.keyframe_every = int(mp["choose_keyframe_every"])
         self.start_optimize_idx = int(mp["start_optimize_idx"])
@@ -145,12 +154,13 @@ class DNSSLAM:
         # (never the oldest anchor or the latest), "skip" drops the new frame
         self.kf_eviction = str(mp.get("kf_eviction", "redundant"))
         # bound single-dispatch length (see mapper.make_map_fn chunk).
-        # Default = steady-state n_iters: the 500-iter first keystep then
-        # runs as 5 dispatches of the SAME compiled 100-iter program as the
-        # steady state (one XLA compile per run instead of two; trajectory
-        # identical). 0 = whole keystep in one dispatch.
+        # Default = the steady per-call iteration count (n_iters // 2, since
+        # each keystep runs 2 outer calls of n_iters/2): the 500-iter first
+        # keystep then runs as dispatches of the SAME compiled chunk program
+        # the steady keysteps use (one XLA compile per run instead of two;
+        # trajectory identical). 0 = whole keystep in one dispatch.
         self.max_iters_per_dispatch = int(
-            mp.get("max_iters_per_dispatch", self.n_iters)
+            mp.get("max_iters_per_dispatch", max(self.n_iters // 2, 1))
         )
         self._chunk_cache: Dict[Any, Any] = {}
 
@@ -226,15 +236,33 @@ class DNSSLAM:
         return sub
 
     def _chunk_for(self, n_iters: int) -> int:
-        """Largest divisor of n_iters that fits max_iters_per_dispatch
-        (0 = no chunking)."""
+        """Dispatch-chunk size for a keystep of ``n_iters`` (0 = unchunked).
+
+        Returns the largest divisor of n_iters that fits
+        max_iters_per_dispatch; when n_iters already fits, returns n_iters
+        itself so the call still routes through the shared chunk program
+        (single dispatch) instead of compiling a separate whole-keystep
+        program. Warns if divisor structure forces a pathologically small
+        chunk (e.g. prime n_iters), which would cost one XLA dispatch per
+        optimization iteration."""
         m = self.max_iters_per_dispatch
-        if m <= 0 or n_iters <= m:
+        if m <= 0:
             return 0
+        if n_iters <= m:
+            return n_iters
+        best = 1
         for c in range(m, 0, -1):
             if n_iters % c == 0:
-                return c
-        return 0
+                best = c
+                break
+        if best < max(m // 4, 1):
+            print(
+                f"WARNING: n_iters={n_iters} has no divisor near "
+                f"max_iters_per_dispatch={m}; using chunk={best} "
+                f"(one device dispatch per {best} iters — pick an n_iters "
+                f"with a divisor close to the dispatch bound)"
+            )
+        return best
 
     def _map_fn(self, n_target: int, n_iters: int):
         k = (n_target, n_iters)
@@ -750,11 +778,9 @@ class DNSSLAM:
                     n_keyframes=self.keyframes.count,
                 )
 
-                if (
-                    self.vis_every > 0
-                    and (idx % self.vis_every == 0 or idx <= 1)
-                    and self.verbose
-                ):
+                # reference runs frame_vis unconditionally on the schedule
+                # (mapping.py:1075-1079); vis_every=0 disables
+                if self.vis_every > 0 and (idx % self.vis_every == 0 or idx <= 1):
                     self.frame_vis(idx, cur)
 
                 # keyframe insertion (reference: mapping.py:1082-1089)

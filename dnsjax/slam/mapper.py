@@ -334,7 +334,12 @@ def make_map_fn(
 
         return jax.lax.scan(step, (opt_params, opt_state), (its, keys))
 
-    if chunk <= 0 or chunk >= n_iters:
+    # chunk == n_iters is a single dispatch THROUGH the chunked program —
+    # kept distinct from chunk=0 so a 50-iter steady keystep shares the
+    # compiled (n_target, 50) chunk_step with the 500-iter first keystep
+    # instead of compiling a second whole-keystep program.
+    chunk = min(chunk, n_iters)
+    if chunk <= 0:
 
         @jax.jit
         def map_step(params, quads0, Ts0, window, key):
@@ -360,7 +365,7 @@ def make_map_fn(
     # across differently-configured mappers.
     cache_key = (n_target, chunk)
     if _chunk_cache is not None and cache_key in _chunk_cache:
-        chunk_step = _chunk_cache[cache_key]
+        chunk_step, init_fn = _chunk_cache[cache_key]
     else:
 
         @jax.jit
@@ -371,12 +376,18 @@ def make_map_fn(
             final_aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
             return opt_params, opt_state, losses, final_aux
 
+        # one fused dispatch for the Adam-state init: the eager opt.init
+        # would issue one tiny device op per param leaf, which adds up at
+        # remote-tunnel dispatch latencies now that EVERY keystep routes
+        # through this wrapper
+        init_fn = jax.jit(opt.init)
+
         if _chunk_cache is not None:
-            _chunk_cache[cache_key] = chunk_step
+            _chunk_cache[cache_key] = (chunk_step, init_fn)
 
     def map_step(params, quads0, Ts0, window, key):
         opt_params = (params, quads0, Ts0)
-        opt_state = opt.init(opt_params)
+        opt_state = init_fn(opt_params)
         keys = jax.random.split(key, n_iters)
         its = jnp.arange(n_iters)
         loss_parts, final_aux = [], None

@@ -28,3 +28,11 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: integration tests (full SLAM drives, multichip end-to-end); "
+        "run the fast unit/oracle tier with `pytest -m 'not slow'` (<2 min)",
+    )

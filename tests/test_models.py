@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -86,6 +87,7 @@ def test_match_features_masks_behind_camera(rng):
     assert code_f.shape == (1, 32)
 
 
+@pytest.mark.slow
 def test_render_coarse_shapes_and_grads(rng):
     params = _params()
     N, S = 8, 11
@@ -109,6 +111,7 @@ def test_render_coarse_shapes_and_grads(rng):
     assert float(jnp.sum(jnp.abs(g["color"]["w"][0]))) > 0
 
 
+@pytest.mark.slow
 def test_render_fine_uses_class_decoders(rng):
     params = _params()
     N, S = 6, 7
@@ -129,6 +132,7 @@ def test_render_fine_uses_class_decoders(rng):
     assert out_a.fine_latents.shape == (N, S, 33)
 
 
+@pytest.mark.slow
 def test_fine_grads_only_touch_used_classes(rng):
     params = _params()
     N, S = 4, 5

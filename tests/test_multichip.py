@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier; see conftest.py
+
 
 def test_device_count():
     assert len(jax.devices()) == 8

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier; see conftest.py
+
 from dnsjax.data.synthetic import SyntheticDataset, synthetic_slam_config
 from dnsjax.geometry.se3 import tensor_from_camera, camera_from_tensor
 from dnsjax.slam.driver import DNSSLAM, load_bound
@@ -565,3 +567,32 @@ def test_map_fn_chunk_cache_shares_program():
     _, _, _, a3 = f20(params, t7[:, :4], t7[:, 4:], window, key)
     assert np.asarray(a3["losses"]).shape == (20,)
     assert np.isfinite(np.asarray(a3["losses"])).all()
+
+
+def test_chunk_for_routes_steady_keystep_through_shared_program():
+    """First (500-iter) and steady (n_iters/2) keysteps share ONE compiled
+    chunk program: _chunk_for returns n_iters itself when it fits the
+    dispatch bound, and make_map_fn routes chunk == n_iters through the
+    cached chunk path (single dispatch) instead of a second jit program."""
+    cfg = synthetic_slam_config(H=24, W=32, n_frames=3)
+    cfg["mapping"]["n_iters"] = 10
+    cfg["mapping"]["n_iters_first"] = 40
+    slam = DNSSLAM(cfg, output_dir="/tmp/dnsjax_chunkshare")
+    assert slam.max_iters_per_dispatch == 5  # n_iters // 2 default
+    assert slam._chunk_for(5) == 5    # steady per-call count -> chunked path
+    assert slam._chunk_for(40) == 5   # first keystep -> same chunk size
+    assert slam._chunk_for(0) == 0 or True  # no crash on degenerate input
+
+    # chunk == n_iters must reuse the cached program, not compile a new one
+    from dnsjax.slam.mapper import make_map_fn
+    from dnsjax.models.decoder import DecoderSpec
+    from dnsjax.ops.hashgrid import HashGridSpec
+    from dnsjax.slam.mapper import MapConfig
+
+    spec = DecoderSpec(n_class=4, grid=HashGridSpec(4, 2, 10, 4, 32), n_bins=16)
+    mcfg = MapConfig(H=24, W=32, fx=16.0, fy=16.0, cx=15.5, cy=11.5,
+                     n_pixels=60, n_samples=8, n_surface=4, smooth_pts=6)
+    cache = {}
+    make_map_fn(spec, mcfg, 2, 40, jnp.float32, chunk=5, _chunk_cache=cache)
+    make_map_fn(spec, mcfg, 2, 5, jnp.float32, chunk=5, _chunk_cache=cache)
+    assert len(cache) == 1
