@@ -25,6 +25,12 @@ def main(argv=None):
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument("--every", type=int, default=10)
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument(
+        "--self-refs", action="store_true",
+        help="condition each render on the evaluated frame's own image "
+             "(the reference eval's behavior — it leaks the answer into "
+             "the 2D feature pathway and inflates PSNR/mIoU; default is "
+             "the three nearest keyframe views from the checkpoint)")
     args = parser.parse_args(argv)
 
     import jax
@@ -76,7 +82,30 @@ def main(argv=None):
     )
     bound_j = jnp.asarray(bound)
     est = ckpt["estimate_c2w"]
-    kf_est = ckpt.get("kf/colors")
+
+    # Reference views for the 2D feature pathway. The broken reference eval
+    # conditioned each frame on its OWN image (3x), feeding the evaluated
+    # image back into its reconstruction; we default to the 3 keyframe
+    # views nearest by camera position (leak-free — the map was trained on
+    # keyframes, so this matches what the live system conditions on,
+    # driver.frame_vis uses the same pathway).
+    kf_colors = ckpt.get("kf/colors")
+    use_kf_refs = kf_colors is not None and not args.self_refs
+    if use_kf_refs:
+        kf_c2w = np.asarray(ckpt["kf/est_c2w"])  # (K, 4, 4)
+        kf_feats_cache = {}
+
+        def kf_feats(k: int):
+            if k not in kf_feats_cache:
+                kf_feats_cache[k] = encode_images(
+                    enc, jnp.asarray(kf_colors[k])[None]
+                )[0]
+            return kf_feats_cache[k]
+    elif not args.self_refs:
+        print(
+            "WARNING: checkpoint has no keyframe images; falling back to "
+            "self-conditioned reference views (optimistic metrics)"
+        )
 
     os.makedirs(os.path.join(out, "renders"), exist_ok=True)
     rows = []
@@ -88,10 +117,18 @@ def main(argv=None):
     for idx in range(0, n, args.every):
         f = ds[idx]
         c2w = jnp.asarray(est[idx])
-        # reference views: the frame itself (features of its own image), as
-        # the reference eval does for novel-view rendering
-        refer_c2w = jnp.stack([c2w, c2w, c2w])
-        feats = encode_images(enc, jnp.asarray(f["color"])[None].repeat(3, 0))
+        if use_kf_refs:
+            pos = np.asarray(est[idx])[:3, 3]
+            d = np.linalg.norm(kf_c2w[:, :3, 3] - pos[None], axis=-1)
+            near = np.argsort(d)[:3].tolist()
+            near = (near + [near[-1]] * 3)[:3]  # pad if < 3 keyframes
+            refer_c2w = jnp.asarray(kf_c2w[near])
+            feats = jnp.stack([kf_feats(k) for k in near])
+        else:
+            refer_c2w = jnp.stack([c2w, c2w, c2w])
+            feats = encode_images(
+                enc, jnp.asarray(f["color"])[None].repeat(3, 0)
+            )
         color, depth, logits = renderer(
             params, c2w, jnp.asarray(f["depth"]), jnp.asarray(f["label"]),
             invert_se3(refer_c2w), feats, bound_j, jax.random.PRNGKey(idx),

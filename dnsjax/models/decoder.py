@@ -78,6 +78,7 @@ class DecoderSpec:
             gather_bf16=bool(m["grid"].get("gather_bf16", False)),
             interp=str(m["grid"].get("interp", "trilinear")),
             grad_levels=int(m["grid"].get("grad_levels", 0)),
+            scatter=str(m["grid"].get("scatter", "xla")),
         )
         return DecoderSpec(
             n_class=n_class,

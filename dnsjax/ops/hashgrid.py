@@ -74,6 +74,16 @@ class HashGridSpec:
     # point uniformly and scale by n_levels (unbiased, n_levels x fewer
     # scatter rows; composes with grad_corners=1).
     grad_levels: int = 0
+    # Table-gradient scatter backend. "xla" = flat jnp scatter-add
+    # (serializes colliding rows, ~16-70 ns/row on TPU). "pallas" = the
+    # dense one-hot-matmul MXU kernel (ops/scatter.dense_matmul_scatter):
+    # the packed gradient table stays VMEM-resident and each contribution
+    # block becomes a bf16 matmul — no sort, no row-rate bound; gradient
+    # contributions are bf16-quantized (the accumulation is f32).
+    # "pallas_split" = same kernel with a hi/lo split (~f32-exact, 2x
+    # matmul cost). Pallas paths require grad_levels == 0 and a table
+    # that fits VMEM, else they silently fall back to XLA scatter.
+    scatter: str = "xla"
 
     @property
     def n_corners(self) -> int:
@@ -278,12 +288,38 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
         isel = lvl_hot.reshape((n, spec.n_levels) + (1,) * (scatter_idx.ndim - 2))
         scatter_idx = jnp.sum(scatter_idx * isel.astype(scatter_idx.dtype), axis=1)
 
-    flat_grad = (
-        jnp.zeros((spec.n_levels * spec.table_size, spec.n_features), g.dtype)
-        .at[scatter_idx.reshape(-1)]
-        .add(contrib.reshape(-1, spec.n_features))
-    )
-    d_table = flat_grad.reshape(spec.n_levels, spec.table_size, spec.n_features)
+    if spec.scatter in ("pallas", "pallas_split") and spec.grad_levels == 0:
+        # per-level layout for the VMEM-resident matmul-scatter kernel
+        # (indices carry the flat level offset; strip it back off)
+        from dnsjax.ops.scatter import dense_matmul_scatter
+
+        L, F = spec.n_levels, spec.n_features
+        off = jnp.arange(L, dtype=scatter_idx.dtype) * spec.table_size
+        if scatter_idx.ndim == 2:  # stochastic corner: (N, L); contrib (N,L,F)
+            li = (scatter_idx - off[None, :]).T  # (L, N)
+            lv = contrib.transpose(1, 0, 2)  # (L, N, F)
+        else:  # exact corners: (N, L, C)
+            li = (
+                (scatter_idx - off[None, :, None])
+                .transpose(1, 0, 2)
+                .reshape(L, -1)
+            )
+            lv = contrib.transpose(1, 0, 2, 3).reshape(L, -1, F)
+        d_table = dense_matmul_scatter(
+            li, lv.astype(jnp.float32), spec.table_size,
+            split=spec.scatter == "pallas_split",
+        )
+    else:
+        flat_grad = (
+            jnp.zeros(
+                (spec.n_levels * spec.table_size, spec.n_features), g.dtype
+            )
+            .at[scatter_idx.reshape(-1)]
+            .add(contrib.reshape(-1, spec.n_features))
+        )
+        d_table = flat_grad.reshape(
+            spec.n_levels, spec.table_size, spec.n_features
+        )
 
     # ---- position gradient -------------------------------------------------
     gdotf = jnp.sum(feats.astype(g.dtype) * g[:, :, None, :], axis=-1)  # (N,L,C)

@@ -1,14 +1,26 @@
-"""EXPERIMENTAL Pallas TPU kernel: sorted segmented scatter-add.
+"""Pallas TPU scatter-add kernels for hash-table gradients.
 
-Status: NOT in the production autodiff path. On pre-sorted contributions it
-beats XLA scatter 2.7x (18 vs 49 ms at 3M rows), but hash-table gradient
-indices arrive unsorted and the required argsort + payload permutation
-costs more than the win (measured: argsort 3M keys ~6 ms, permuting 32-byte
-payloads ~20 ms). The production backward instead REDUCES scatter rows —
-stochastic-corner + stochastic-level sampling in ops/hashgrid.py — which
-beats both. The kernel is kept (with its tests) as the building block for
-a future sort-free path should a naturally-grouped contribution order
-appear.
+Two kernels:
+
+* ``dense_matmul_scatter`` — PRODUCTION (hash-encode backward, see
+  ops/hashgrid.py): sort-free scatter-add via one-hot matmuls on the MXU.
+  The gradient table stays VMEM-resident in PACKED layout across a
+  sequential grid over contribution blocks; each block builds a bf16
+  one-hot (rows x contributions) matrix in VMEM and accumulates
+  ``one_hot @ lane_scattered_values`` into the table — turning the
+  scatter (which XLA serializes at ~70 ns per colliding row) into dense
+  MXU work at ~R*F flops per contribution. No argsort, no permutation:
+  this is the standard TPU embedding-gradient construction, profitable
+  whenever contributions-per-block x table-rows stays MXU-cheap (the
+  4-level x 2^16 x 8-feat TPU grid profile qualifies; a 2^20-row
+  reference-parity table does not, and falls back to XLA scatter).
+
+* ``sorted_scatter_add`` — EXPERIMENTAL, not in the production path. On
+  pre-sorted contributions it beats XLA scatter 2.7x (18 vs 49 ms at 3M
+  rows), but hash-gradient indices arrive unsorted and the argsort +
+  payload permutation costs more than the win (measured: argsort 3M keys
+  ~6 ms, permuting 32-byte payloads ~20 ms). Kept with tests as the
+  building block for naturally-grouped contribution orders.
 
 XLA's TPU scatter-add costs ~70 ns/row (measured; it serializes colliding
 updates), which makes the hash-encoding backward the dominant cost of map
@@ -151,3 +163,143 @@ def sorted_scatter_add(
         lambda: _pallas_sorted_scatter(sidx, svals, R),
         lambda: jnp.zeros((R, F), vals.dtype).at[idx].add(vals),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense (sort-free) matmul scatter — production hash-grad path
+# ---------------------------------------------------------------------------
+
+def _dense_kernel(idx_ref, vals_ref, out_ref, *, n_windows, w_rows, split):
+    """Accumulate one block of contributions into the packed level table.
+
+    idx_ref (1, B, 1) int32 row ids in [0, R); vals_ref (1, B, F) f32;
+    out_ref (1, R/P, 128) f32, resident across the block grid dimension.
+    Contributions live on SUBLANES (axis 1) so the one-hot contraction is
+    a transpose-A matmul, which the MXU handles natively.
+    """
+    F = vals_ref.shape[-1]
+    B = vals_ref.shape[1]
+    P = _LANES // F
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    off = idx_ref[0, :, :]  # (B, 1)
+
+    # lane placement: vals_exp[c, p*F:(p+1)*F] = vals[c] iff idx_c mod P == p
+    # (bf16 throughout: the mask is exact 0/1 and the hi part is the bf16
+    # rounding of vals; split mode adds the bf16 residual as a second term)
+    lane_slot = jax.lax.rem(off, P)  # (B, 1)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (B, _LANES), 1)
+    mask = (lane_ids // F == lane_slot).astype(jnp.bfloat16)
+    v = vals_ref[0]
+    v_hi = v.astype(jnp.bfloat16)
+    vals_exp = pltpu.repeat(v_hi, P, axis=1) * mask  # (B, 128)
+    if split:
+        v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        vals_lo = pltpu.repeat(v_lo, P, axis=1) * mask
+
+    dims = (((0,), (0,)), ((), ()))  # contract over contributions (sublanes)
+    grp = jax.lax.div(off, P)  # (B, 1) packed row in [0, R/P)
+    rows0 = jax.lax.broadcasted_iota(jnp.int32, (B, w_rows), 1)
+
+    def window(w, _):
+        oh = (rows0 + w * w_rows == grp).astype(jnp.bfloat16)  # (B, W)
+        win = jax.lax.dot_general(
+            oh, vals_exp, dims, preferred_element_type=jnp.float32
+        )  # (W, 128)
+        if split:
+            win = win + jax.lax.dot_general(
+                oh, vals_lo, dims, preferred_element_type=jnp.float32
+            )
+        w0 = pl.multiple_of(w * w_rows, w_rows)
+        out_ref[0, pl.ds(w0, w_rows), :] += win
+        return 0
+
+    jax.lax.fori_loop(0, n_windows, window, 0)
+
+
+@partial(jax.jit, static_argnames=("R", "block", "split", "use_pallas"))
+def dense_matmul_scatter(
+    idx: jnp.ndarray,
+    vals: jnp.ndarray,
+    R: int,
+    block: int = 1024,
+    split: bool = False,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Per-level scatter-add: out[l] = zeros((R, F)).at[idx[l]].add(vals[l]).
+
+    Args:
+      idx: (L, N) int32 table rows in [0, R).
+      vals: (L, N, F) float32 contributions; F must divide 128.
+      R: rows per level. R * F * 4 bytes of packed f32 must fit VMEM
+         alongside scratch (<= 8 MB enforced); larger tables fall back to
+         XLA scatter.
+      block: contributions per grid step (matmul contraction dim).
+      split: True = two-matmul hi/lo bf16 split (~f32-exact, 2x matmul
+         cost); False = single bf16 matmul (vals quantized to bf16; the
+         one-hot is exact either way).
+    Returns:
+      (L, R, F) float32 gradient table.
+    """
+    L, N = idx.shape
+    F = vals.shape[-1]
+    P = _LANES // F if F <= _LANES else 0
+    ok = (
+        use_pallas
+        and F <= _LANES
+        and _LANES % F == 0
+        and R % max(P, 1) == 0
+        and (R // max(P, 1)) % 8 == 0
+        and R * F * 4 <= 8 * 1024 * 1024
+    )
+    if not ok:
+        flat = (idx + jnp.arange(L, dtype=idx.dtype)[:, None] * R).reshape(-1)
+        out = (
+            jnp.zeros((L * R, F), vals.dtype)
+            .at[flat]
+            .add(vals.reshape(-1, F))
+        )
+        return out.reshape(L, R, F)
+
+    n_blocks = -(-N // block)
+    n_pad = n_blocks * block - N
+    if n_pad:
+        # row 0 with zero value: harmless accumulation target
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((L, n_pad), idx.dtype)], axis=1
+        )
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((L, n_pad, F), vals.dtype)], axis=1
+        )
+
+    packed_rows = R // P
+    w_rows = min(512, packed_rows)
+    n_windows = packed_rows // w_rows
+
+    kernel = partial(
+        _dense_kernel, n_windows=n_windows, w_rows=w_rows, split=split
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block, 1), lambda l, b: (l, b, 0)),
+            pl.BlockSpec((1, block, F), lambda l, b: (l, b, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, packed_rows, _LANES), lambda l, b: (l, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, packed_rows, _LANES), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * n_blocks * block * packed_rows * _LANES
+            * (2 if split else 1),
+            bytes_accessed=L * (N * (4 + 4 * F) + packed_rows * _LANES * 4),
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(idx.astype(jnp.int32)[..., None], vals.astype(jnp.float32))
+    return out.reshape(L, R, F)

@@ -249,3 +249,55 @@ def test_oneblob_quartic_gradients_finite(rng):
 
     g = jax.grad(f)(pts)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_pallas_scatter_backward_matches_xla(rng):
+    """The dense matmul-scatter table gradient equals the XLA scatter
+    gradient (split mode ~f32-exact; bf16 mode to quantization tolerance),
+    for both stochastic-corner and exact-corner backwards."""
+    pts = jnp.asarray(rng.uniform(size=(3000, 3)).astype(np.float32))
+    for gc in (1, 4):
+        base = dict(
+            n_levels=2, n_features=8, log2_hashmap_size=11,
+            base_resolution=4, desired_resolution=16,
+            interp="tet", grad_corners=gc,
+        )
+        xla = HashGridSpec(**base, scatter="xla")
+        pal = HashGridSpec(**base, scatter="pallas_split")
+        table = init_hash_table(jax.random.PRNGKey(7), xla)
+
+        def loss(t, spec):
+            return jnp.sum(hash_encode(t, pts, spec) ** 2)
+
+        g_x = jax.grad(loss)(table, xla)
+        g_p = jax.grad(loss)(table, pal)
+        np.testing.assert_allclose(
+            np.asarray(g_p), np.asarray(g_x), rtol=2e-4, atol=1e-6,
+            err_msg=f"grad_corners={gc}",
+        )
+
+        g_b = jax.grad(loss)(table, HashGridSpec(**base, scatter="pallas"))
+        scale = np.abs(np.asarray(g_x)).max()
+        assert np.abs(np.asarray(g_b) - np.asarray(g_x)).max() < 2e-2 * scale
+
+
+def test_pallas_scatter_fallback_big_table(rng):
+    """Tables too big for VMEM silently fall back to the XLA scatter."""
+    pts = jnp.asarray(rng.uniform(size=(500, 3)).astype(np.float32))
+    base = dict(
+        n_levels=1, n_features=2, log2_hashmap_size=20,
+        base_resolution=4, desired_resolution=512, grad_corners=8,
+    )
+    xla = HashGridSpec(**base, scatter="xla")
+    pal = HashGridSpec(**base, scatter="pallas")
+    table = init_hash_table(jax.random.PRNGKey(2), xla)
+
+    def loss(t, spec):
+        return jnp.sum(hash_encode(t, pts, spec) ** 2)
+
+    # collision rows accumulate in a different order -> f32 rounding
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss)(table, pal)),
+        np.asarray(jax.grad(loss)(table, xla)),
+        rtol=1e-4, atol=1e-6,
+    )
