@@ -229,6 +229,15 @@ def main():
     mesh_s = _min3(run_mesh)
     mesh_mpts = B / mesh_s / 1e6
 
+    # Amortized end-to-end FPS: the honest "real-time SLAM" number — one
+    # strict-sync cycle is optimize_every tracked frames plus one keystep
+    # (reference: tracking.py:259-263, mapping.py:996-998). On a single
+    # chip this is total-device-work bound regardless of async scheduling;
+    # tpu.map_device on a second chip hides the keystep entirely, making
+    # amortized ~= tracking FPS.
+    cyc = 5
+    amortized_fps = cyc / (cyc * track_s + keystep_s)
+
     print(
         json.dumps(
             {
@@ -244,6 +253,7 @@ def main():
                     else {}
                 ),
                 "mesh_query_mpts_per_sec": round(mesh_mpts, 2),
+                "amortized_fps": round(amortized_fps, 2),
             }
         )
     )

@@ -170,12 +170,15 @@ def sorted_scatter_add(
 # ---------------------------------------------------------------------------
 
 def _dense_kernel(idx_ref, vals_ref, out_ref, *, n_windows, w_rows, split):
-    """Accumulate one block of contributions into the packed level table.
+    """Accumulate one contribution block into the packed level table.
 
+    Grid is (L, n_blocks): the whole (1, R/P, 128) level table stays
+    VMEM-resident while contribution blocks stream past it; the one-hot
+    matmul is statically unrolled over ``n_windows`` row windows with the
+    lane-placement machinery (iota, vals_exp) hoisted out of the unroll.
     idx_ref (1, B, 1) int32 row ids in [0, R); vals_ref (1, B, F) f32;
-    out_ref (1, R/P, 128) f32, resident across the block grid dimension.
-    Contributions live on SUBLANES (axis 1) so the one-hot contraction is
-    a transpose-A matmul, which the MXU handles natively.
+    out_ref (1, R/P, 128) f32. Contributions live on SUBLANES so the
+    one-hot contraction is a transpose-A matmul (MXU-native).
     """
     F = vals_ref.shape[-1]
     B = vals_ref.shape[1]
@@ -204,9 +207,8 @@ def _dense_kernel(idx_ref, vals_ref, out_ref, *, n_windows, w_rows, split):
     dims = (((0,), (0,)), ((), ()))  # contract over contributions (sublanes)
     grp = jax.lax.div(off, P)  # (B, 1) packed row in [0, R/P)
     rows0 = jax.lax.broadcasted_iota(jnp.int32, (B, w_rows), 1)
-
-    def window(w, _):
-        oh = (rows0 + w * w_rows == grp).astype(jnp.bfloat16)  # (B, W)
+    for w in range(n_windows):
+        oh = (rows0 == grp - w * w_rows).astype(jnp.bfloat16)  # (B, W)
         win = jax.lax.dot_general(
             oh, vals_exp, dims, preferred_element_type=jnp.float32
         )  # (W, 128)
@@ -214,11 +216,7 @@ def _dense_kernel(idx_ref, vals_ref, out_ref, *, n_windows, w_rows, split):
             win = win + jax.lax.dot_general(
                 oh, vals_lo, dims, preferred_element_type=jnp.float32
             )
-        w0 = pl.multiple_of(w * w_rows, w_rows)
-        out_ref[0, pl.ds(w0, w_rows), :] += win
-        return 0
-
-    jax.lax.fori_loop(0, n_windows, window, 0)
+        out_ref[0, w * w_rows : (w + 1) * w_rows, :] += win
 
 
 @partial(jax.jit, static_argnames=("R", "block", "split", "use_pallas"))
@@ -293,7 +291,9 @@ def dense_matmul_scatter(
         out_specs=pl.BlockSpec(
             (1, packed_rows, _LANES), lambda l, b: (l, 0, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((L, packed_rows, _LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (L, packed_rows, _LANES), jnp.float32
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * L * n_blocks * block * packed_rows * _LANES
             * (2 if split else 1),

@@ -198,6 +198,31 @@ class DNSSLAM:
         self._cur_feats = None
         self._cur_sorted = None
 
+        # --- async keystep (reference: two processes on one GPU,
+        # dns_slam.py:161-172; TPU-native equivalent of §2.10) -----------
+        # async_map defers consuming the keystep's results (pose
+        # write-back, loss fetch, tracker param swap) to the NEXT keystep
+        # boundary: the tracker keeps rendering against the PREVIOUS
+        # keystep's map — exactly the reference tracker's deepcopy-snapshot
+        # semantics under loose sync — so the host never blocks on a
+        # running keystep, and with tpu.map_device pointing at a second
+        # chip the keystep runs concurrently with tracking in hardware.
+        # strict sync keeps the reference's lock-step (finish immediately).
+        tpu_cfg = cfg.get("tpu", {}) or {}
+        self.async_map = bool(
+            tpu_cfg.get("async_map", self.sync_method != "strict")
+        )
+        self.map_device_idx = int(tpu_cfg.get("map_device", 0))
+        devs = jax.devices()
+        self.map_device = (
+            devs[self.map_device_idx]
+            if 0 < self.map_device_idx < len(devs)
+            else None
+        )
+        self.track_device = devs[0] if self.map_device is not None else None
+        self._pending_map = None
+        self._track_params = self.params  # tracker's snapshot of the map
+
         # tracker reference view state
         self._refer_color: Optional[jnp.ndarray] = None
         self._refer_w2c: Optional[jnp.ndarray] = None
@@ -496,8 +521,90 @@ class DNSSLAM:
                 new_list.append(min_c)
         return new_list
 
-    def map_once(self, idx: int, cur, n_iters: int, mode: str, is_first: bool):
-        cur_c2w = self.estimate_c2w[idx]
+    def _to_map_device(self, tree):
+        """Stage keystep inputs onto the mapping device (no-op single-dev)."""
+        if self.map_device is None:
+            return tree
+        return jax.device_put(tree, self.map_device)
+
+    def _from_map_device(self, tree):
+        """Return keystep outputs to the tracking device (async transfer;
+        no-op single-dev)."""
+        if self.map_device is None:
+            return tree
+        return jax.device_put(tree, self.track_device)
+
+    def _finish_map(self) -> None:
+        """Consume the pending keystep: host pose write-back, loss fetch +
+        logging, and the tracker's param-snapshot swap. This is the single
+        synchronization point with the mapper (reference: the tracker's
+        update_para_from_mapping deepcopy, tracking.py:76-83)."""
+        p = self._pending_map
+        if p is None:
+            return
+        self._pending_map = None
+        t0 = time.perf_counter()
+        idx, aux = p["idx"], p["aux"]
+        if p["is_ba"]:
+            self.estimate_c2w[idx] = np.asarray(p["cur_c2w"])
+            # the frame may have been keyframed while the keystep ran;
+            # its store pose predates the BA result — patch it
+            if idx in self.keyframes.frame_ids:
+                slot = self.keyframes.frame_ids.index(idx)
+                self.keyframes.update_pose(slot, p["cur_c2w"])
+        self._track_params = self.params
+        t_block = time.perf_counter() - t0
+        self.map_times.append(p["t_dispatch"] + t_block)
+        if self.verbose:
+            line = (
+                f"Frame {idx} BACK: rgb {float(aux['p_loss']):.4f} "
+                f"psnr {float(mse2psnr(aux['p_loss'])):.2f} "
+                f"d {float(aux['d_loss']):.4f} l {float(aux['l_loss']):.4f} "
+                f"lt {float(aux['lt_loss']):.4f} "
+                f"{p['t_dispatch']:.1f}+{t_block:.1f}s"
+            )
+            print(line)
+            with open(
+                os.path.join(self.out_dir, "output_back_fine.txt"), "a"
+            ) as f:
+                f.write(line + "\n")
+        self._log_metric(
+            event="map", frame=idx,
+            p_loss=float(aux["p_loss"]), d_loss=float(aux["d_loss"]),
+            l_loss=float(aux["l_loss"]), lt_loss=float(aux["lt_loss"]),
+            seconds=self.map_times[-1], dispatch_seconds=p["t_dispatch"],
+            n_keyframes=self.keyframes.count,
+        )
+
+    def _keystep(self, idx: int, cur) -> None:
+        """Dispatch one full mapping keystep (2 outer calls, reference
+        mapping.py:1020-1038) without blocking; record it as pending."""
+        t0 = time.perf_counter()
+        outer = 2
+        iters = self.n_iters // outer
+        aux = cur_c2w = None
+        for o in range(outer):
+            mode = "overlap" if o % 2 == 0 else "global"
+            aux, cur_c2w = self.map_once(
+                idx, cur, iters, mode, False, cur_c2w_dev=cur_c2w
+            )
+        self._pending_map = {
+            "idx": idx,
+            "aux": aux,
+            "cur_c2w": cur_c2w,
+            "is_ba": self.is_ba,
+            "t_dispatch": time.perf_counter() - t0,
+        }
+        if not self.async_map:
+            self._finish_map()
+
+    def map_once(self, idx: int, cur, n_iters: int, mode: str, is_first: bool,
+                 cur_c2w_dev=None):
+        """Dispatch one mapping call; pose write-back stays ON DEVICE (no
+        host fetch) so consecutive outer calls and the tracker can proceed
+        without blocking on the keystep. Returns (aux, c2w_new_dev) device
+        futures; the host-side estimate_c2w write happens in _finish_map."""
+        cur_c2w = self.estimate_c2w[idx] if cur_c2w_dev is None else cur_c2w_dev
         self.is_ba = idx >= self.start_optimize_idx
         targets = [] if is_first else self._select_targets(mode, cur, cur_c2w)
         window, quads0, Ts0, est, gt, slots, valid = self._build_window(
@@ -535,12 +642,18 @@ class DNSSLAM:
             window["lt_gate_iter"] = jnp.asarray(n_iters // 2, jnp.int32)
 
         map_fn = self._map_fn(len(slots), n_iters)
-        self.params, quads, Ts, aux = map_fn(
-            self.params, quads0, Ts0, window, self._next_key()
+        params_in, quads0, Ts0, window = self._to_map_device(
+            (self.params, quads0, Ts0, window)
         )
+        params_out, quads, Ts, aux = map_fn(
+            params_in, quads0, Ts0, window, self._next_key()
+        )
+        self.params = self._from_map_device(params_out)
 
-        # BA write-back (reference: mapping.py:916-940); skip padding slots
-        c2w_new = np.asarray(
+        # BA write-back (reference: mapping.py:916-940); skip padding slots.
+        # All device-side: kf poses get future rows, estimate_c2w (host)
+        # is written later in _finish_map.
+        c2w_new = self._from_map_device(
             camera_from_tensor(jnp.concatenate([quads, Ts], -1))
         )
         if self.is_ba:
@@ -551,7 +664,6 @@ class DNSSLAM:
                 if i == 0 and n_real > 1:
                     continue  # frozen oldest
                 self.keyframes.update_pose(sid, c2w_new[i])
-            self.estimate_c2w[idx] = c2w_new[-1]
         return aux, c2w_new[-1]
 
     # ------------------------------------------------------------------
@@ -618,7 +730,7 @@ class DNSSLAM:
         est0 = pose_init_const_velocity(self.estimate_c2w, idx, self.const_speed)
         t7 = np.asarray(tensor_from_camera(jnp.asarray(est0)))
         quad, T, metrics = self.track_fn(
-            self.params, feats, self._refer_w2c,
+            self._track_params, feats, self._refer_w2c,
             cur["color"], cur["depth"], cur["label"],
             jnp.asarray(t7[:4]), jnp.asarray(t7[4:]),
             self.bound_j, self._next_key(),
@@ -677,6 +789,7 @@ class DNSSLAM:
 
         ckpt = load_checkpoint(path)
         self.params = restore_params(self.params, ckpt)
+        self._track_params = self.params
         self.enc_params = restore_params(self.enc_params, ckpt, "enc")
         self.estimate_c2w[:] = ckpt["estimate_c2w"][: self.n_img]
         self.gt_c2w[:] = ckpt["gt_c2w"][: self.n_img]
@@ -719,7 +832,11 @@ class DNSSLAM:
 
             # bootstrap mapping on frame 0
             t0 = time.perf_counter()
-            self.map_once(0, f0, self.n_iters_first, "overlap", is_first=True)
+            aux0, _ = self.map_once(
+                0, f0, self.n_iters_first, "overlap", is_first=True
+            )
+            float(aux0["p_loss"])  # sync: honest init timing, warm tracker
+            self._track_params = self.params
             self.map_times.append(time.perf_counter() - t0)
             self.first_frame_optimized = True
             self._pre_color = f0["color"]
@@ -750,37 +867,20 @@ class DNSSLAM:
 
             # mapping keystep, per sync policy
             if self._should_map(idx, last_mapped, n):
-                t0 = time.perf_counter()
-                outer = 2
-                iters = self.n_iters // outer
-                for o in range(outer):
-                    mode = "overlap" if o % 2 == 0 else "global"
-                    aux, cur_c2w = self.map_once(idx, cur, iters, mode, False)
-                self.map_times.append(time.perf_counter() - t0)
+                # consume the previous keystep first (its BA poses and the
+                # tracker's param snapshot), then dispatch the new one;
+                # with async_map the new keystep runs while the next
+                # optimize_every frames track against the old map
+                self._finish_map()
+                self._keystep(idx, cur)
                 last_mapped = idx
-                if self.verbose:
-                    line = (
-                        f"Frame {idx} BACK: rgb {float(aux['p_loss']):.4f} "
-                        f"psnr {float(mse2psnr(aux['p_loss'])):.2f} "
-                        f"d {float(aux['d_loss']):.4f} l {float(aux['l_loss']):.4f} "
-                        f"lt {float(aux['lt_loss']):.4f} {self.map_times[-1]:.1f}s"
-                    )
-                    print(line)
-                    with open(
-                        os.path.join(self.out_dir, "output_back_fine.txt"), "a"
-                    ) as f:
-                        f.write(line + "\n")
-                self._log_metric(
-                    event="map", frame=idx,
-                    p_loss=float(aux["p_loss"]), d_loss=float(aux["d_loss"]),
-                    l_loss=float(aux["l_loss"]), lt_loss=float(aux["lt_loss"]),
-                    seconds=self.map_times[-1],
-                    n_keyframes=self.keyframes.count,
-                )
+                if idx == n - 1:
+                    self._finish_map()
 
                 # reference runs frame_vis unconditionally on the schedule
                 # (mapping.py:1075-1079); vis_every=0 disables
                 if self.vis_every > 0 and (idx % self.vis_every == 0 or idx <= 1):
+                    self._finish_map()
                     self.frame_vis(idx, cur)
 
                 # keyframe insertion (reference: mapping.py:1082-1089)
@@ -808,6 +908,7 @@ class DNSSLAM:
                     and idx % self.mesh_every == 0
                     and self.mesher is not None
                 ):
+                    self._finish_map()
                     self.mesher.save_mesh(self, idx)
 
                 if (
@@ -815,10 +916,12 @@ class DNSSLAM:
                     and idx % self.checkpoint_every == 0
                     and idx > 1
                 ):
+                    self._finish_map()
                     self.save_checkpoint(f"model_{idx}.npz", idx)
 
             self._pre_color = cur["color"]
 
+        self._finish_map()
         self.save_checkpoint("model.npz", n - 1)
         if self.verbose:
             print(f"Decoder params: {decoder_param_count(self.params)}")

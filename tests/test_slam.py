@@ -596,3 +596,61 @@ def test_chunk_for_routes_steady_keystep_through_shared_program():
     make_map_fn(spec, mcfg, 2, 40, jnp.float32, chunk=5, _chunk_cache=cache)
     make_map_fn(spec, mcfg, 2, 5, jnp.float32, chunk=5, _chunk_cache=cache)
     assert len(cache) == 1
+
+
+def test_async_keystep_snapshot_semantics(tmp_path):
+    """Under async_map the tracker renders against the PREVIOUS keystep's
+    params while a keystep is pending (reference: the tracker's deepcopy
+    snapshot, tracking.py:76-83), and the pending keystep is consumed at
+    the next keystep boundary."""
+    cfg = synthetic_slam_config(
+        H=32, W=40, n_frames=8, n_iters_track=4, n_iters_map=6,
+        n_pixels_map=120,
+    )
+    cfg["sync_method"] = "strict"
+    cfg["tpu"] = dict(cfg.get("tpu", {}) or {}, async_map=True)
+
+    seen = []
+
+    class Probe(DNSSLAM):
+        def track_frame(self, idx, cur):
+            seen.append(
+                (idx, self._pending_map is not None,
+                 self._track_params is self.params)
+            )
+            return super().track_frame(idx, cur)
+
+    slam = Probe(cfg, output_dir=str(tmp_path / "async"))
+    est, gt = slam.run()
+    assert np.isfinite(est).all()
+    # keysteps dispatch at frames 5, 7 (strict, optimize_every=5, last=7);
+    # frames tracked after a dispatch must see a pending keystep and a
+    # tracker snapshot that is NOT the in-flight params pytree
+    pend = [s for s in seen if s[1]]
+    assert pend, f"no frame tracked against a pending keystep: {seen}"
+    assert all(not same for _, _, same in pend)
+    # all pendings consumed by the end
+    assert slam._pending_map is None
+    # the final map matches the tracker snapshot again
+    assert slam._track_params is slam.params
+
+
+def test_map_device_second_device(tmp_path):
+    """tpu.map_device runs keysteps on a second device with the params
+    hand-off back to the tracking device (the reference's two-processes-
+    one-GPU overlap, dns_slam.py:161-172, done across chips)."""
+    cfg = synthetic_slam_config(
+        H=32, W=40, n_frames=8, n_iters_track=4, n_iters_map=6,
+        n_pixels_map=120,
+    )
+    cfg["sync_method"] = "loose"
+    cfg["tpu"] = dict(cfg.get("tpu", {}) or {}, map_device=1, async_map=True)
+    slam = DNSSLAM(cfg, output_dir=str(tmp_path / "mapdev"))
+    assert slam.map_device is not None
+    est, gt = slam.run()
+    assert np.isfinite(est).all()
+    # params returned to the tracking device for the tracker/mesher/eval
+    leaf = jax.tree_util.tree_leaves(slam.params)[0]
+    assert list(leaf.devices())[0] == jax.devices()[0]
+    err = np.abs(est[:, :3, 3] - gt[:, :3, 3]).max()
+    assert err < 0.5, f"two-device SLAM diverged: {err}"
