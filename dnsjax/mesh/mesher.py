@@ -56,6 +56,22 @@ class Mesher:
         self.points_batch = int(m.get("points_batch_size", 262144))
         self.level_set = float(m.get("level_set", 0.0))
         self.clean_mesh = bool(m.get("clean_mesh", True))
+        # vertex colors/labels: "interpolate" reuses the grid pass's cached
+        # color/label field along the marching-tetrahedra edge (every MT
+        # vertex lies on a monotone Kuhn edge: endpoints differ by a 0/1
+        # offset per axis), eliminating the whole second query pass;
+        # "requery" re-evaluates the field exactly at each vertex (the
+        # reference's behavior, meshing.py:735-762).
+        self.vertex_attr = str(m.get("vertex_attr", "interpolate"))
+        # hierarchical grid query: evaluate a half-resolution lattice first
+        # and refine only coarse cells that could cross the level set (sign
+        # change among corners, or corner margin below the cell's own
+        # corner-to-corner spread). Off-surface fine points are filled by
+        # trilinear interpolation of the coarse field — they cannot host
+        # marching vertices when the flag criterion holds. ~3-5x fewer
+        # field evaluations at 256^3; "false" restores the exhaustive
+        # reference-style dense query (meshing.py:646-657).
+        self.hierarchical = bool(m.get("hierarchical", True))
         self.get_largest = bool(m.get("get_largest_components", False))
         self.small_thresh = float(m.get("remove_small_geometry_threshold", 0.2))
         self.color = bool(m.get("color", True))
@@ -317,21 +333,39 @@ class Mesher:
         pts, lo, spacing = self._grid()
         n = pts.shape[0]
         B = self.points_batch
-        occ = np.empty(n, np.float32)
-        label = np.empty(n, np.int32)
-        seen = np.empty(n, np.float32)
+        interp = self.vertex_attr == "interpolate"
         bound_j = jnp.asarray(self.bound, jnp.float32)
-        for s in range(0, n, B):
-            e = min(s + B, n)
-            chunk = np.zeros((B, 3), np.float32)
-            chunk[: e - s] = pts[s:e]
-            o, l, _, cnt = self._query(
-                params, jnp.asarray(chunk), kf.est_c2w, kf_valid, feats,
-                kf.labels, kf_depths, bound_j,
+
+        def query_points(p):
+            """Chunked field query: (M,3) -> occ, label, color, seen."""
+            M = p.shape[0]
+            o_ = np.empty(M, np.float32)
+            l_ = np.empty(M, np.int32)
+            c_ = np.empty((M, 3), np.float32)
+            s_ = np.empty(M, np.float32)
+            for a in range(0, M, B):
+                e = min(a + B, M)
+                chunk = np.zeros((B, 3), np.float32)
+                chunk[: e - a] = p[a:e]
+                o, l, c, cnt = self._query(
+                    params, jnp.asarray(chunk), kf.est_c2w, kf_valid, feats,
+                    kf.labels, kf_depths, bound_j,
+                )
+                o_[a:e] = np.asarray(o)[: e - a]
+                l_[a:e] = np.asarray(l)[: e - a]
+                c_[a:e] = np.asarray(c)[: e - a]
+                s_[a:e] = np.asarray(cnt)[: e - a]
+            return o_, l_, c_, s_
+
+        r = self.resolution
+        if self.hierarchical and r >= 32:
+            occ, label, col, seen = self._hierarchical_query(
+                pts, query_points
             )
-            occ[s:e] = np.asarray(o)[: e - s]
-            label[s:e] = np.asarray(l)[: e - s]
-            seen[s:e] = np.asarray(cnt)[: e - s]
+        else:
+            occ, label, col, seen = query_points(pts)
+        if not interp:
+            col = None
 
         r = self.resolution
         verts, faces = marching_tetrahedra(
@@ -352,18 +386,40 @@ class Mesher:
             )
 
         # per-vertex color/label
-        vcol = np.zeros((verts.shape[0], 3), np.float32)
-        vlab = np.zeros(verts.shape[0], np.int32)
-        for s in range(0, verts.shape[0], B):
-            e = min(s + B, verts.shape[0])
-            chunk = np.zeros((B, 3), np.float32)
-            chunk[: e - s] = verts[s:e]
-            _, l, c, _ = self._query(
-                params, jnp.asarray(chunk), kf.est_c2w, kf_valid, feats,
-                kf.labels, kf_depths, bound_j,
-            )
-            vcol[s:e] = np.asarray(c)[: e - s]
-            vlab[s:e] = np.asarray(l)[: e - s]
+        if interp:
+            # every MT vertex sits on a tet edge whose endpoints are grid
+            # corners p0, p0 + mask (mask in {0,1}^3): lerp the cached
+            # color field, nearest-endpoint the label (falling back to the
+            # other endpoint when the nearest was never observed)
+            r3 = (self.resolution,) * 3
+            g = (verts - lo) / np.asarray(spacing)
+            g0 = np.floor(g + 1e-4).astype(np.int64)
+            frac = np.clip(g - g0, 0.0, 1.0)
+            frac[frac < 1e-4] = 0.0
+            t = frac.max(axis=1)
+            g1 = np.minimum(g0 + (frac > 0), self.resolution - 1)
+            g0 = np.clip(g0, 0, self.resolution - 1)
+            f0 = np.ravel_multi_index(tuple(g0.T), r3)
+            f1 = np.ravel_multi_index(tuple(g1.T), r3)
+            vcol = (1.0 - t)[:, None] * col[f0] + t[:, None] * col[f1]
+            near = np.where(t < 0.5, f0, f1)
+            far = np.where(t < 0.5, f1, f0)
+            vlab = label[near]
+            miss = vlab < 0
+            vlab[miss] = label[far[miss]]
+        else:
+            vcol = np.zeros((verts.shape[0], 3), np.float32)
+            vlab = np.zeros(verts.shape[0], np.int32)
+            for s in range(0, verts.shape[0], B):
+                e = min(s + B, verts.shape[0])
+                chunk = np.zeros((B, 3), np.float32)
+                chunk[: e - s] = verts[s:e]
+                _, l, c, _ = self._query(
+                    params, jnp.asarray(chunk), kf.est_c2w, kf_valid, feats,
+                    kf.labels, kf_depths, bound_j,
+                )
+                vcol[s:e] = np.asarray(c)[: e - s]
+                vlab[s:e] = np.asarray(l)[: e - s]
 
         out = {"vertices": verts, "faces": faces, "colors": vcol, "labels": vlab}
         if class2color is not None:
@@ -371,6 +427,94 @@ class Mesher:
         return out
 
     # ------------------------------------------------------------------
+    def _hierarchical_query(self, pts, query_points):
+        """Coarse-to-fine field evaluation over the (r,r,r) lattice.
+
+        Evaluates every 2nd lattice point (plus the last plane per axis),
+        flags coarse cells that could cross ``level_set`` (corner sign
+        change, or any corner's margin to the level below that cell's own
+        corner-to-corner spread), evaluates all fine lattice points of
+        flagged cells, and fills the rest by trilinear interpolation of
+        the coarse field (sign-safe where the flag criterion holds, so
+        marching cannot produce vertices from filled values).
+        Returns occ, label, col, seen as flat (r^3,) / (r^3,3) arrays.
+        """
+        r = self.resolution
+        lv = self.level_set
+        grid = pts.reshape(r, r, r, 3)
+
+        ax = np.unique(np.concatenate([np.arange(0, r, 2), [r - 1]]))
+        m = ax.size
+        coarse_pts = grid[np.ix_(ax, ax, ax)].reshape(-1, 3)
+        co, cl, cc, cs = query_points(coarse_pts)
+        co3 = co.reshape(m, m, m)
+
+        # corner stacks of each coarse cell: (8, m-1, m-1, m-1)
+        corners = np.stack([
+            co3[i:m - 1 + i or None, j:m - 1 + j or None, k:m - 1 + k or None]
+            for i in (0, 1) for j in (0, 1) for k in (0, 1)
+        ])
+        inside = corners > lv
+        sign_change = inside.any(0) != inside.all(0)
+        spread = corners.max(0) - corners.min(0)
+        margin = np.abs(corners - lv).min(0)
+        flagged = sign_change | (margin < spread)
+
+        # fine-lattice evaluation mask: all lattice points of flagged cells
+        need = np.zeros((r, r, r), bool)
+        lo_i, hi_i = ax[:-1], ax[1:]
+        fi, fj, fk = np.nonzero(flagged)
+        for a, b, c in zip(fi, fj, fk):
+            need[lo_i[a]:hi_i[a] + 1, lo_i[b]:hi_i[b] + 1,
+                 lo_i[c]:hi_i[c] + 1] = True
+
+        # fill everything from the coarse field first (trilinear occ/seen,
+        # nearest label/color), then overwrite evaluated points
+        # fractional coarse coordinate of each fine index
+        fc = np.interp(np.arange(r), ax, np.arange(m))
+        i0 = np.minimum(fc.astype(np.int64), m - 2)
+        w1 = fc - i0
+        occ = np.zeros((r, r, r), np.float32)
+        seen = np.zeros((r, r, r), np.float32)
+        cs3 = cs.reshape(m, m, m)
+
+        def trilerp(src):
+            a = src[i0][:, i0][:, :, i0]
+            out = np.zeros((r, r, r), np.float32)
+            for di in (0, 1):
+                wi = (w1 if di else 1 - w1)[:, None, None]
+                for dj in (0, 1):
+                    wj = (w1 if dj else 1 - w1)[None, :, None]
+                    for dk in (0, 1):
+                        wk = (w1 if dk else 1 - w1)[None, None, :]
+                        sub = src[i0 + di][:, i0 + dj][:, :, i0 + dk]
+                        out += wi * wj * wk * sub
+            return out
+
+        occ = trilerp(co3).astype(np.float32)
+        seen = trilerp(cs3).astype(np.float32)
+        nn = np.minimum(np.round(fc).astype(np.int64), m - 1)
+        cl3 = cl.reshape(m, m, m)
+        cc3 = cc.reshape(m, m, m, 3)
+        label = cl3[nn][:, nn][:, :, nn].copy()
+        col = cc3[nn][:, nn][:, :, nn].copy()
+
+        # evaluate the flagged fine points exactly
+        where = np.nonzero(need)
+        if where[0].size:
+            fo, fl, fcoln, fs = query_points(grid[where].reshape(-1, 3))
+            occ[where] = fo
+            label[where] = fl
+            col[where] = fcoln
+            seen[where] = fs
+
+        frac = where[0].size / float(r ** 3)
+        if frac > 0.9:
+            print(f"hierarchical mesh query: {frac:.0%} refined "
+                  "(little savings; consider meshing.hierarchical: false)")
+        return (occ.reshape(-1), label.reshape(-1),
+                col.reshape(-1, 3), seen.reshape(-1))
+
     def _clean(self, verts, faces, seen_grid, lo, spacing, all_poses=None):
         """Cull faces whose vertices were never observed by any keyframe
         (reference seen-mask clean, meshing.py:694-733) + optional small

@@ -130,3 +130,99 @@ def test_depth_l1_virtual_views():
         v + np.array([0.05, 0, 0], np.float32), f, v, f, n_views=8, H=60, W=80
     )
     assert 1.0 < shifted["depth_l1_cm"] < 20.0
+
+
+def test_vertex_attr_interpolate_matches_requery():
+    """Interpolated vertex colors/labels (single-pass extraction) agree
+    with the reference-style vertex re-query on a fitted synthetic map."""
+    import jax
+    import jax.numpy as jnp
+    from dnsjax.data.synthetic import SyntheticDataset, synthetic_slam_config
+    from dnsjax.mesh.mesher import Mesher
+    from dnsjax.models.decoder import DecoderSpec
+    from dnsjax.slam.driver import DNSSLAM
+
+    cfg = synthetic_slam_config(
+        H=32, W=40, n_frames=4, n_iters_track=2, n_iters_map=30,
+        n_pixels_map=200,
+    )
+    cfg["use_gt_camera"] = True
+    slam = DNSSLAM(cfg, output_dir="/tmp/dnsjax_vattr")
+    slam.run()
+
+    def build(mode):
+        mcfg = {
+            "meshing": {"resolution": 48, "points_batch_size": 8192,
+                        "level_set": 0.0, "clean_mesh": False,
+                        "vertex_attr": mode},
+            "back_end": {"bound": np.asarray(slam.bound).tolist(),
+                         "marching_cubes_bound": np.asarray(slam.bound).tolist()},
+        }
+        ds = slam.dataset
+        m = Mesher(mcfg, dict(H=ds.H, W=ds.W, fx=ds.fx, fy=ds.fy,
+                              cx=ds.cx, cy=ds.cy), slam.bound, slam.spec)
+        return m.extract(slam.params, slam.enc_params, slam.keyframes)
+
+    a = build("interpolate")
+    b = build("requery")
+    assert a["vertices"].shape[0] > 100
+    np.testing.assert_array_equal(a["vertices"], b["vertices"])
+    # colors: sub-voxel lerp vs exact re-evaluation of a smooth field
+    dc = np.abs(a["colors"] - b["colors"]).mean()
+    assert dc < 0.05, f"mean color deviation {dc}"
+    # labels: nearest-endpoint vs re-query may differ on class boundaries
+    agree = (a["labels"] == b["labels"]).mean()
+    assert agree > 0.95, f"label agreement {agree}"
+
+
+def test_hierarchical_query_matches_dense():
+    """Coarse-to-fine extraction reproduces the dense grid's mesh on a
+    fitted synthetic map (the flag criterion must catch every surface
+    cell), with far fewer field evaluations."""
+    from dnsjax.data.synthetic import synthetic_slam_config
+    from dnsjax.mesh.mesher import Mesher
+    from dnsjax.slam.driver import DNSSLAM
+
+    cfg = synthetic_slam_config(
+        H=32, W=40, n_frames=4, n_iters_track=2, n_iters_map=30,
+        n_pixels_map=200,
+    )
+    cfg["use_gt_camera"] = True
+    slam = DNSSLAM(cfg, output_dir="/tmp/dnsjax_hier")
+    slam.run()
+
+    calls = []
+
+    def build(hier):
+        mcfg = {
+            "meshing": {"resolution": 48, "points_batch_size": 8192,
+                        "level_set": 0.0, "clean_mesh": False,
+                        "hierarchical": hier},
+            "back_end": {"bound": np.asarray(slam.bound).tolist(),
+                         "marching_cubes_bound": np.asarray(slam.bound).tolist()},
+        }
+        ds = slam.dataset
+        m = Mesher(mcfg, dict(H=ds.H, W=ds.W, fx=ds.fx, fy=ds.fy,
+                              cx=ds.cx, cy=ds.cy), slam.bound, slam.spec)
+        q0 = m._query
+        n_pts = [0]
+
+        def counting(*a, **k):
+            n_pts[0] += a[1].shape[0]
+            return q0(*a, **k)
+
+        m._query = counting
+        out = m.extract(slam.params, slam.enc_params, slam.keyframes)
+        calls.append(n_pts[0])
+        return out
+
+    h = build(True)
+    d = build(False)
+    assert calls[0] < 0.6 * calls[1], f"too few savings: {calls}"
+    assert h["vertices"].shape[0] > 100
+    # the flagged region covers every surface cell -> identical topology
+    assert h["faces"].shape == d["faces"].shape, (calls, h["faces"].shape,
+                                                  d["faces"].shape)
+    np.testing.assert_allclose(h["vertices"], d["vertices"], atol=1e-5)
+    agree = (h["labels"] == d["labels"]).mean()
+    assert agree > 0.99, f"label agreement {agree}"
