@@ -232,3 +232,73 @@ def test_lpips_disabled_without_weights(monkeypatch):
 
     monkeypatch.delenv("DNSJAX_LPIPS_NPZ", raising=False)
     assert lpips(np.zeros((8, 8, 3)), np.ones((8, 8, 3))) is None
+
+
+def test_lpips_real_alexnet_schema(tmp_path, monkeypatch):
+    """End-to-end LPIPS through an npz with the EXACT schema and shapes
+    scripts/export_lpips.py writes (AlexNet-features channel counts),
+    synthetic-valued — validates the import pathway before any real
+    weight hand-off (reference metric: eval_2d.py:304-305)."""
+    from dnsjax.eval.render_metrics import lpips, _LPIPS_CACHE
+
+    rng = np.random.default_rng(3)
+    shapes = [  # torchvision alexnet .features convs
+        (64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+        (256, 384, 3, 3), (256, 256, 3, 3),
+    ]
+    out = {}
+    for i, s in enumerate(shapes):
+        out[f"conv{i}_w"] = (rng.normal(size=s) / np.sqrt(np.prod(s[1:]))).astype(np.float32)
+        out[f"conv{i}_b"] = np.zeros(s[0], np.float32)
+        out[f"lin{i}_w"] = rng.uniform(0, 0.1, size=s[0]).astype(np.float32)
+    out["shift"] = np.asarray([-0.030, -0.088, -0.188], np.float32)
+    out["scale"] = np.asarray([0.458, 0.448, 0.450], np.float32)
+    path = str(tmp_path / "alex_schema.npz")
+    np.savez(path, **out)
+
+    monkeypatch.setenv("DNSJAX_LPIPS_NPZ", path)
+    _LPIPS_CACHE.clear()
+    a = rng.uniform(size=(64, 72, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.1, size=a.shape), 0, 1).astype(np.float32)
+    d_ab = lpips(a, b)
+    d_aa = lpips(a, a)
+    assert d_ab is not None and np.isfinite(d_ab)
+    assert d_aa == pytest.approx(0.0, abs=1e-6)
+    assert d_ab > d_aa
+    _LPIPS_CACHE.clear()
+
+
+def test_resnet18_npz_import_pathway(tmp_path, monkeypatch):
+    """init_encoder_params consumes the exact npz schema
+    scripts/export_resnet18.py writes (PyTorch conv1/bn1 layout) and
+    folds BN correctly: y = relu(conv(x) * gamma/sqrt(var+eps) +
+    (beta - mean * gamma/sqrt(var+eps)))."""
+    import jax.numpy as jnp
+    from dnsjax.models.encoder import init_encoder_params, encode_images
+
+    rng = np.random.default_rng(4)
+    conv1 = rng.normal(scale=0.05, size=(64, 3, 7, 7)).astype(np.float32)
+    gamma = rng.uniform(0.5, 1.5, 64).astype(np.float32)
+    beta = rng.normal(scale=0.1, size=64).astype(np.float32)
+    mean = rng.normal(scale=0.2, size=64).astype(np.float32)
+    var = rng.uniform(0.5, 2.0, 64).astype(np.float32)
+    path = str(tmp_path / "resnet18_conv1.npz")
+    np.savez(path, conv1_weight=conv1, bn1_weight=gamma, bn1_bias=beta,
+             bn1_running_mean=mean, bn1_running_var=var)
+
+    monkeypatch.setenv("DNSJAX_RESNET18_NPZ", path)
+    p = init_encoder_params(0)
+    assert p["w"].shape == (7, 7, 3, 64)
+    scale = gamma / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(np.asarray(p["scale"]), scale, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p["bias"]), beta - mean * scale,
+                               rtol=1e-5, atol=1e-6)
+    # HWIO transpose is the PyTorch OIHW kernel
+    np.testing.assert_allclose(
+        np.asarray(p["w"]), conv1.transpose(2, 3, 1, 0), rtol=1e-6
+    )
+    img = jnp.asarray(rng.uniform(size=(1, 1, 32, 40, 3)).astype(np.float32))
+    feats = encode_images(p, img)
+    assert feats.shape == (1, 1, 16, 20, 64)
+    assert np.isfinite(np.asarray(feats)).all()
+    assert (np.asarray(feats) >= 0).all()  # post-ReLU
