@@ -8,7 +8,11 @@ fetches pull whole buffers, so every timing ends in float(scalar)).
 Run: python scripts/profile_map.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -49,13 +53,14 @@ def main():
     dim_max = float((bound[:, 1] - bound[:, 0]).max())
     import sys
     interp = sys.argv[1] if len(sys.argv) > 1 else "tet"
+    scatter = sys.argv[2] if len(sys.argv) > 2 else "xla"
     spec = DecoderSpec(
         n_class=N_CLASS,
         grid=HashGridSpec(4, 8, 16, 16, int(dim_max / 0.02), grad_corners=1,
-                          gather_bf16=True, interp=interp),
+                          gather_bf16=True, interp=interp, scatter=scatter),
         n_bins=16,
     )
-    print(f"profile: interp={interp}")
+    print(f"profile: interp={interp} scatter={scatter}")
     params = init_decoder_params(jax.random.PRNGKey(0), spec)
     mcfg = MapConfig(
         H=H, W=W, fx=fx, fy=fx, cx=cx, cy=cy,

@@ -108,8 +108,10 @@ def test_project_inverts_ray(rng):
     t = jnp.asarray(rng.uniform(0.5, 5.0, size=(50, 1)), jnp.float32)
     pts_cam = dirs * t
     u, v, depth = project_points(pts_cam, fx, fy, cx, cy)
-    np.testing.assert_allclose(np.asarray(u), np.asarray(i), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(v), np.asarray(j), atol=1e-3)
+    # rtol: f32 rounding at u ~ 100 px is ~1e-5 relative, borderline at a
+    # pure atol (same fix as test_project_roundtrip_through_pose)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(i), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(j), rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(t)[:, 0], atol=1e-4)
 
 
