@@ -85,7 +85,7 @@ VARIANTS = {
 }
 
 
-def run_variant(name, overrides, frames, small, eval_every):
+def run_variant(name, overrides, frames, small, eval_every, seed=0):
     import jax
     import jax.numpy as jnp
 
@@ -105,6 +105,7 @@ def run_variant(name, overrides, frames, small, eval_every):
     cfg["tpu"].update(overrides.get("tpu", {}))
     cfg["training"].update(overrides.get("training", {}))
     cfg["mapping"].update(overrides.get("mapping", {}))
+    cfg["seed"] = seed
     cfg["verbose"] = False
     if small:
         cfg["cam"].update(H=170, W=300, fx=150.0, fy=150.0, cx=149.5, cy=84.5)
@@ -167,12 +168,15 @@ def main():
     ap.add_argument("--eval-every", type=int, default=7)
     ap.add_argument("--one", type=str, default=None,
                     help="(internal) run a single variant, print JSON")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", type=str, default="0",
+                    help="comma list; seed s>0 results stored as name@s<s>")
     args = ap.parse_args()
 
     if args.one:
         r = run_variant(
             args.one, VARIANTS[args.one], args.frames, args.small,
-            args.eval_every,
+            args.eval_every, seed=args.seed,
         )
         print("ABRESULT " + json.dumps(r), flush=True)
         return
@@ -189,11 +193,15 @@ def main():
                 results = json.load(f)
         except Exception:
             results = {}
+    seeds = [int(s) for s in args.seeds.split(",")]
     for name in args.variants.split(","):
-        print(f"== {name} ==", flush=True)
+      for seed in seeds:
+        key = name if seed == 0 else f"{name}@s{seed}"
+        print(f"== {key} ==", flush=True)
         cmd = [
             sys.executable, os.path.abspath(__file__), "--one", name,
             "--frames", str(args.frames), "--eval-every", str(args.eval_every),
+            "--seed", str(seed),
         ] + (["--small"] if args.small else [])
         for attempt in range(2):
             p = subprocess.run(cmd, capture_output=True, text=True)
@@ -202,16 +210,16 @@ def main():
                 None,
             )
             if line:
-                results[name] = json.loads(line[len("ABRESULT "):])
+                results[key] = json.loads(line[len("ABRESULT "):])
                 break
             tail = (p.stderr or "").strip().splitlines()[-1][:200] if p.stderr else "no output"
             print(f"  attempt {attempt + 1} failed (rc={p.returncode}): {tail}",
                   flush=True)
         else:
-            results[name] = {"ate_rmse_m": float("nan"), "psnr_db": float("nan"),
-                             "depth_l1_cm": float("nan"), "miou": float("nan"),
-                             "wall_s": -1}
-        print(json.dumps(results[name]), flush=True)
+            results[key] = {"ate_rmse_m": float("nan"), "psnr_db": float("nan"),
+                            "depth_l1_cm": float("nan"), "miou": float("nan"),
+                            "wall_s": -1}
+        print(json.dumps(results[key]), flush=True)
 
     with open("ab_quality.json", "w") as f:
         json.dump(results, f, indent=1)
@@ -243,6 +251,32 @@ def main():
             f"| {name} | {r['ate_rmse_m']:.4f} | {r['psnr_db']:.2f} | "
             f"{r['depth_l1_cm']:.2f} | {r['miou']:.3f} | {r['wall_s']} | {ok} |"
         )
+    # multi-seed spreads: group name / name@sN rows (min..max over seeds)
+    groups = {}
+    for key, r in results.items():
+        base = key.split("@s")[0]
+        groups.setdefault(base, []).append(r)
+    multi = {b: rs for b, rs in groups.items() if len(rs) > 1}
+    if multi:
+        lines += [
+            "",
+            "## Multi-seed spreads (mean, min..max over seeds)",
+            "",
+            "| variant | n | ATE RMSE (m) | PSNR (dB) | depth L1 (cm) | mIoU |",
+            "|---|---|---|---|---|---|",
+        ]
+        import math
+        for base, rs in multi.items():
+            def agg(k):
+                vs = [r[k] for r in rs if not math.isnan(r[k])]
+                if not vs:
+                    return "nan"
+                return f"{np.mean(vs):.4f} ({min(vs):.4f}..{max(vs):.4f})"
+            lines.append(
+                f"| {base} | {len(rs)} | {agg('ate_rmse_m')} | {agg('psnr_db')} "
+                f"| {agg('depth_l1_cm')} | {agg('miou')} |"
+            )
+
     with open("AB_QUALITY.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
