@@ -305,9 +305,14 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
                 .reshape(L, -1)
             )
             lv = contrib.transpose(1, 0, 2, 3).reshape(L, -1, F)
+        rows_used = tuple(
+            int(min((int(r) + 1) ** 3, spec.table_size))
+            for r in spec.level_resolutions()
+        )  # dense-indexed small levels address n_verts^3 << T rows
         d_table = dense_matmul_scatter(
             li, lv.astype(jnp.float32), spec.table_size,
             split=spec.scatter == "pallas_split",
+            rows_used=rows_used,
         )
     else:
         flat_grad = (

@@ -169,7 +169,8 @@ def sorted_scatter_add(
 # Dense (sort-free) matmul scatter — production hash-grad path
 # ---------------------------------------------------------------------------
 
-def _dense_kernel(idx_ref, vals_ref, out_ref, *, n_windows, w_rows, split):
+def _dense_kernel(idx_ref, vals_ref, out_ref, *, n_windows, w_rows, split,
+                  rows_used=None):
     """Accumulate one contribution block into the packed level table.
 
     Grid is (L, n_blocks): the whole (1, R/P, 128) level table stays
@@ -179,16 +180,29 @@ def _dense_kernel(idx_ref, vals_ref, out_ref, *, n_windows, w_rows, split):
     idx_ref (1, B, 1) int32 row ids in [0, R); vals_ref (1, B, F) f32;
     out_ref (1, R/P, 128) f32. Contributions live on SUBLANES so the
     one-hot contraction is a transpose-A matmul (MXU-native).
+
+    ``rows_used``: optional per-level count of table rows actually
+    addressable (dense small levels use n_verts^3 << R rows); windows
+    entirely above the level's used range are skipped at runtime, which
+    drops ~93% of the level-0 matmul work for the TPU grid profile.
     """
     F = vals_ref.shape[-1]
     B = vals_ref.shape[1]
     P = _LANES // F
+    l = pl.program_id(0)
     b = pl.program_id(1)
 
     @pl.when(b == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    if rows_used is not None:
+        # scalar select chain (an array constant would be captured, which
+        # pallas_call rejects; scalars fold into the kernel)
+        up = [(int(r) + P - 1) // P for r in rows_used]
+        used_packed = jnp.int32(up[0])
+        for i in range(1, len(up)):
+            used_packed = jnp.where(l == i, jnp.int32(up[i]), used_packed)
     off = idx_ref[0, :, :]  # (B, 1)
 
     # lane placement: vals_exp[c, p*F:(p+1)*F] = vals[c] iff idx_c mod P == p
@@ -208,18 +222,27 @@ def _dense_kernel(idx_ref, vals_ref, out_ref, *, n_windows, w_rows, split):
     grp = jax.lax.div(off, P)  # (B, 1) packed row in [0, R/P)
     rows0 = jax.lax.broadcasted_iota(jnp.int32, (B, w_rows), 1)
     for w in range(n_windows):
-        oh = (rows0 == grp - w * w_rows).astype(jnp.bfloat16)  # (B, W)
-        win = jax.lax.dot_general(
-            oh, vals_exp, dims, preferred_element_type=jnp.float32
-        )  # (W, 128)
-        if split:
-            win = win + jax.lax.dot_general(
-                oh, vals_lo, dims, preferred_element_type=jnp.float32
-            )
-        out_ref[0, w * w_rows : (w + 1) * w_rows, :] += win
+        def _window(w=w):
+            oh = (rows0 == grp - w * w_rows).astype(jnp.bfloat16)  # (B, W)
+            win = jax.lax.dot_general(
+                oh, vals_exp, dims, preferred_element_type=jnp.float32
+            )  # (W, 128)
+            if split:
+                win = win + jax.lax.dot_general(
+                    oh, vals_lo, dims, preferred_element_type=jnp.float32
+                )
+            out_ref[0, w * w_rows : (w + 1) * w_rows, :] += win
+
+        if rows_used is None:
+            _window()
+        else:
+            pl.when(w * w_rows < used_packed)(_window)
 
 
-@partial(jax.jit, static_argnames=("R", "block", "split", "use_pallas"))
+@partial(
+    jax.jit,
+    static_argnames=("R", "block", "split", "use_pallas", "rows_used"),
+)
 def dense_matmul_scatter(
     idx: jnp.ndarray,
     vals: jnp.ndarray,
@@ -227,6 +250,7 @@ def dense_matmul_scatter(
     block: int = 1024,
     split: bool = False,
     use_pallas: bool = True,
+    rows_used: tuple = None,
 ) -> jnp.ndarray:
     """Per-level scatter-add: out[l] = zeros((R, F)).at[idx[l]].add(vals[l]).
 
@@ -240,6 +264,10 @@ def dense_matmul_scatter(
       split: True = two-matmul hi/lo bf16 split (~f32-exact, 2x matmul
          cost); False = single bf16 matmul (vals quantized to bf16; the
          one-hot is exact either way).
+      rows_used: optional per-level tuple of row counts actually
+         addressable (dense-indexed small levels touch n_verts^3 << R
+         rows); out-of-range windows are skipped in-kernel. Indices must
+         respect it — rows >= rows_used[l] would be silently dropped.
     Returns:
       (L, R, F) float32 gradient table.
     """
@@ -279,7 +307,8 @@ def dense_matmul_scatter(
     n_windows = packed_rows // w_rows
 
     kernel = partial(
-        _dense_kernel, n_windows=n_windows, w_rows=w_rows, split=split
+        _dense_kernel, n_windows=n_windows, w_rows=w_rows, split=split,
+        rows_used=rows_used,
     )
     out = pl.pallas_call(
         kernel,

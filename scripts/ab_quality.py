@@ -30,38 +30,50 @@ _TPU_GRID = dict(n_levels=4, level_dim=8, grad_corners=1, gather_bf16=True,
 
 VARIANTS = {
     # name -> {config section -> overrides}; sections: grid (model.grid),
-    # tpu, pos (model.pos), training
+    # tpu, pos (model.pos), training.
+    # NOTE: every variant pins pos.kernel and training.smooth_every
+    # explicitly — configs/slam.yaml now DEFAULTS to the adopted
+    # quartic/sm4 bundle, so a variant that omitted them would silently
+    # inherit it and stop measuring what its name says.
     "parity": dict(
         grid=dict(n_levels=16, level_dim=2, grad_corners=8, gather_bf16=False,
                   interp="trilinear", grad_levels=0),
         tpu=dict(compute_dtype="float32", feature_taps=4),
+        pos=dict(kernel="gaussian"),
+        training=dict(smooth_every=1),
         # ~0.9 s/iter at this shape: a 100-iter single dispatch exceeds the
         # remote worker's tolerance and kills it (bisected by
         # scripts/probe_parity.py); bound dispatches to 25 iterations —
         # mathematically identical trajectory (mapper.make_map_fn chunk)
         mapping=dict(max_iters_per_dispatch=25),
     ),
-    "r1-tpu": dict(grid=dict(_TPU_GRID), tpu=dict(feature_taps=1)),
+    "r1-tpu": dict(grid=dict(_TPU_GRID), tpu=dict(feature_taps=1),
+                   pos=dict(kernel="gaussian"), training=dict(smooth_every=1)),
     "tet4x8": dict(
         grid=dict(_TPU_GRID, interp="tet"), tpu=dict(feature_taps=1),
+        pos=dict(kernel="gaussian"), training=dict(smooth_every=1),
     ),
     "tet4x8-gl1": dict(
         grid=dict(_TPU_GRID, interp="tet", grad_levels=1),
         tpu=dict(feature_taps=1),
+        pos=dict(kernel="gaussian"), training=dict(smooth_every=1),
     ),
     "tet2x16": dict(
         grid=dict(_TPU_GRID, n_levels=2, level_dim=16, interp="tet"),
         tpu=dict(feature_taps=1),
+        pos=dict(kernel="gaussian"), training=dict(smooth_every=1),
     ),
     "tet2x16-gl1": dict(
         grid=dict(_TPU_GRID, n_levels=2, level_dim=16, interp="tet",
                   grad_levels=1),
         tpu=dict(feature_taps=1),
+        pos=dict(kernel="gaussian"), training=dict(smooth_every=1),
     ),
     # encoder axis: round-1's seeded-random conv1 vs the procedural Gabor
     # bank (models/encoder.py), on the round-1 grid profile
     "r1-tpu-randenc": dict(
         grid=dict(_TPU_GRID), tpu=dict(feature_taps=1, encoder_init="random"),
+        pos=dict(kernel="gaussian"), training=dict(smooth_every=1),
     ),
     # quartic OneBlob (tcnn's own kernel) + strided smoothness on the tet
     # profile — the round-2 candidate default
@@ -76,10 +88,29 @@ VARIANTS = {
         grid=dict(_TPU_GRID, interp="tet"),
         tpu=dict(feature_taps=1),
         pos=dict(kernel="quartic"),
+        training=dict(smooth_every=1),
     ),
     "tet4x8-sm4": dict(
         grid=dict(_TPU_GRID, interp="tet"),
         tpu=dict(feature_taps=1),
+        pos=dict(kernel="gaussian"),
+        training=dict(smooth_every=4),
+    ),
+    # MXU matmul-scatter table-gradient backend (ops/scatter.py): the
+    # one-hot matmul quantizes contributions to bf16 — gate that the
+    # training trajectory holds up at full shape
+    "tet4x8-quartic-sm4-scpallas": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4),
+    ),
+    # tet2x16 with the quartic/sm4 bundle: halves encode gather rows again
+    # (2 levels x 16 feats) — helps mapping AND tracking if quality holds
+    "tet2x16-quartic-sm4": dict(
+        grid=dict(_TPU_GRID, n_levels=2, level_dim=16, interp="tet"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
         training=dict(smooth_every=4),
     ),
 }
@@ -220,9 +251,9 @@ def main():
                             "depth_l1_cm": float("nan"), "miou": float("nan"),
                             "wall_s": -1}
         print(json.dumps(results[key]), flush=True)
-
-    with open("ab_quality.json", "w") as f:
-        json.dump(results, f, indent=1)
+        # incremental write: multi-hour sweeps must survive interruption
+        with open("ab_quality.json", "w") as f:
+            json.dump(results, f, indent=1)
 
     ref = results.get("parity")
     lines = [
