@@ -217,6 +217,8 @@ def main():
     )
     kf_labels = jnp.asarray(rng.integers(0, N_CLASS, size=(K, H, W)), jnp.int32)
     kf_depths = depths[0][None].repeat(K, 0)
+    if mesher.fuse_rows:  # the TPU-profile query path (one row per view)
+        kf_feats = mesher.fuse_view_maps(kf_feats, kf_depths, kf_labels)
     q = mesher._query
     o = q(params, pts, kf_c2w, kf_valid, kf_feats, kf_labels, kf_depths, bound)
     _ = float(jnp.vdot(o[0], o[0]))  # compile + warm

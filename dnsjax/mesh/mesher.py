@@ -86,6 +86,16 @@ class Mesher:
         # 1 = nearest half-res tap, 4 = bilinear. The keyframe feature
         # gathers (K x B x taps rows per chunk) dominate the query cost.
         self.feature_taps = int(cfg.get("tpu", {}).get("feature_taps", 4))
+        # fused view rows: pack [feats | depth | label] into ONE half-res
+        # bf16 map per keyframe so each view costs one gather row per point
+        # instead of two (TPU gather cost is per ROW). Depth/label move to
+        # half-res nearest + bf16 (exact for label ids < 256; depth rel.
+        # error 2^-8 ~ 0.4%, small vs the 5% truncation band and the 0.5 m
+        # depth-test margin). Defaults on for the taps=1 TPU profile;
+        # taps=4 keeps the reference-exact separate full-res gathers.
+        self.fuse_rows = bool(
+            cfg.get("tpu", {}).get("mesh_fused_rows", self.feature_taps == 1)
+        )
         scale = float(cfg.get("scale", 1))
         self.mc_bound = (
             np.asarray(
@@ -134,19 +144,29 @@ class Mesher:
                 Hf, Wf = feats.shape[0], feats.shape[1]
                 gx = u * ((Wf - 1.0) / (cam["W"] - 1.0))
                 gy = v * ((Hf - 1.0) / (cam["H"] - 1.0))
-                sampler = (
-                    bilinear_sample if self.feature_taps == 4 else nearest_sample
-                )
-                code = sampler(feats, gx, gy)  # (B,64)
-                # depth-truncation mask vs the keyframe's sensor depth;
-                # depth+label gathered as ONE two-channel row per point
-                # (gather cost is per-row on TPU)
-                ui = jnp.clip(u, 0, cam["W"] - 1).astype(jnp.int32)
-                vi = jnp.clip(v, 0, cam["H"] - 1).astype(jnp.int32)
-                dl = jnp.stack(
-                    [depth_img, labels_img.astype(depth_img.dtype)], -1
-                )[vi, ui]  # (B, 2)
-                kf_d = dl[:, 0]
+                if self.fuse_rows:
+                    # feats is the fused (Hf, Wf, 64+2) map: one gather row
+                    # per view-point yields code + depth + label
+                    row = nearest_sample(feats, gx, gy)  # (B, 66)
+                    code = row[:, :-2]
+                    kf_d = row[:, -2].astype(jnp.float32)
+                    lab_f = row[:, -1].astype(jnp.float32)
+                else:
+                    sampler = (
+                        bilinear_sample if self.feature_taps == 4
+                        else nearest_sample
+                    )
+                    code = sampler(feats, gx, gy)  # (B,64)
+                    # depth-truncation mask vs the keyframe's sensor depth;
+                    # depth+label gathered as ONE two-channel row per point
+                    # (gather cost is per-row on TPU)
+                    ui = jnp.clip(u, 0, cam["W"] - 1).astype(jnp.int32)
+                    vi = jnp.clip(v, 0, cam["H"] - 1).astype(jnp.int32)
+                    dl = jnp.stack(
+                        [depth_img, labels_img.astype(depth_img.dtype)], -1
+                    )[vi, ui]  # (B, 2)
+                    kf_d = dl[:, 0]
+                    lab_f = dl[:, 1]
                 if self.depth_test:
                     # visibility requires the point to not be far behind the
                     # observed surface (reference: meshing.py:124-291;
@@ -162,7 +182,7 @@ class Mesher:
                 )  # (B,h)
                 code_sum = code_sum + merged * seen[:, None]
                 count = count + seen.astype(jnp.float32)
-                lab = dl[:, 1].astype(jnp.int32)
+                lab = lab_f.astype(jnp.int32)
                 label = jnp.where(seen, lab, label)
                 label_seen = label_seen | seen
                 return (code_sum, count, label, label_seen), None
@@ -213,6 +233,34 @@ class Mesher:
             )
             return jax.jit(sharded)
         return jax.jit(query_chunk)
+
+    # ------------------------------------------------------------------
+    def fuse_view_maps(
+        self, feats: jnp.ndarray, depths: jnp.ndarray, labels: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Pack per-keyframe [feats | depth | label] into one half-res bf16
+        map (K, Hf, Wf, C+2) so the per-view query costs a single gather
+        row per point (see ``fuse_rows``). Depth/label are nearest-sampled
+        at the half-res grid positions of the align_corners mapping the
+        query uses (u_full = gx * (W-1)/(Wf-1))."""
+        K, Hf, Wf = feats.shape[0], feats.shape[1], feats.shape[2]
+        H, W = int(self.cam["H"]), int(self.cam["W"])
+        yi = jnp.round(
+            jnp.arange(Hf, dtype=jnp.float32) * ((H - 1.0) / (Hf - 1.0))
+        ).astype(jnp.int32)
+        xi = jnp.round(
+            jnp.arange(Wf, dtype=jnp.float32) * ((W - 1.0) / (Wf - 1.0))
+        ).astype(jnp.int32)
+        d_half = depths[:, yi][:, :, xi]  # (K, Hf, Wf)
+        l_half = labels[:, yi][:, :, xi].astype(jnp.float32)
+        return jnp.concatenate(
+            [
+                feats.astype(jnp.bfloat16),
+                d_half[..., None].astype(jnp.bfloat16),
+                l_half[..., None].astype(jnp.bfloat16),
+            ],
+            -1,
+        )
 
     # ------------------------------------------------------------------
     def estimated_depths(self, params, keyframes) -> jnp.ndarray:
@@ -329,6 +377,8 @@ class Mesher:
         kf_depths = kf.depths
         if self.depth_test and self.use_est_depth:
             kf_depths = self.estimated_depths(params, kf)
+        if self.fuse_rows:
+            feats = self.fuse_view_maps(feats, kf_depths, kf.labels)
 
         pts, lo, spacing = self._grid()
         n = pts.shape[0]

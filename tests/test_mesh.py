@@ -226,3 +226,94 @@ def test_hierarchical_query_matches_dense():
     np.testing.assert_allclose(h["vertices"], d["vertices"], atol=1e-5)
     agree = (h["labels"] == d["labels"]).mean()
     assert agree > 0.99, f"label agreement {agree}"
+
+
+def test_fused_view_rows_match_unfused():
+    """The fused [feats|depth|label] single-row query equals the separate
+    full-res gathers when depth/label are bf16-exact and constant per
+    pixel block (fusion moves depth/label to half-res nearest + bf16 —
+    exact in that regime)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dnsjax.mesh.mesher import Mesher
+    from dnsjax.models.decoder import DecoderSpec, init_decoder_params
+    from dnsjax.ops.hashgrid import HashGridSpec
+
+    H, W, K, B, n_class = 34, 40, 3, 64, 5
+    cam = dict(H=H, W=W, fx=20.0, fy=20.0, cx=(W - 1) / 2, cy=(H - 1) / 2)
+    bound = np.asarray([[-2.0, 2.0], [-2.0, 2.0], [-2.0, 2.0]])
+    spec = DecoderSpec(
+        n_class=n_class,
+        grid=HashGridSpec(2, 8, 10, 4, 16),
+        n_bins=4,
+    )
+    params = init_decoder_params(jax.random.PRNGKey(0), spec)
+
+    rng = np.random.default_rng(3)
+    # depth constant 2.0 (bf16-exact); labels constant per 2x2 block so
+    # the half-res nearest tap picks the same value as the full-res gather
+    # (per-pixel-random labels WOULD disagree at odd pixels — that is the
+    # documented fusion deviation, bounded statistically below)
+    kf_feats = jnp.asarray(
+        rng.normal(size=(K, H // 2, W // 2, 64)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    kf_depths = jnp.full((K, H, W), 2.0, jnp.float32)
+    lab_blocks = rng.integers(0, n_class, size=(K, (H + 1) // 2, (W + 1) // 2))
+    kf_labels = jnp.asarray(
+        np.repeat(np.repeat(lab_blocks, 2, 1), 2, 2)[:, :H, :W], jnp.int32
+    )
+    kf_c2w = jnp.tile(jnp.eye(4), (K, 1, 1))
+    kf_valid = jnp.ones(K, bool)
+    pts = jnp.asarray(rng.uniform(-1.5, 1.5, size=(B, 3)).astype(np.float32))
+    bound_j = jnp.asarray(bound, jnp.float32)
+
+    def build(fused):
+        cfg = {
+            "meshing": {"resolution": 16, "points_batch_size": B,
+                        "level_set": 0.0, "clean_mesh": False,
+                        "depth_test": True},
+            "back_end": {"bound": bound.tolist()},
+            "tpu": {"feature_taps": 1, "mesh_fused_rows": fused},
+        }
+        return Mesher(cfg, cam, bound, spec, jnp.bfloat16)
+
+    m_ref = build(False)
+    occ0, lab0, col0, cnt0 = m_ref._query(
+        params, pts, kf_c2w, kf_valid, kf_feats, kf_labels, kf_depths, bound_j
+    )
+    m_fused = build(True)
+    assert m_fused.fuse_rows
+    fused_maps = m_fused.fuse_view_maps(kf_feats, kf_depths, kf_labels)
+    assert fused_maps.shape == (K, H // 2, W // 2, 66)
+    occ1, lab1, col1, cnt1 = m_fused._query(
+        params, pts, kf_c2w, kf_valid, fused_maps, kf_labels, kf_depths,
+        bound_j,
+    )
+    np.testing.assert_array_equal(np.asarray(cnt0), np.asarray(cnt1))
+    np.testing.assert_array_equal(np.asarray(lab0), np.asarray(lab1))
+    np.testing.assert_allclose(np.asarray(occ0), np.asarray(occ1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(col0), np.asarray(col1), atol=1e-5)
+
+    # per-pixel-random labels: fusion may pick the neighboring full-res
+    # pixel; bound the disagreement among observed points
+    kf_labels_r = jnp.asarray(
+        rng.integers(0, n_class, size=(K, H, W)), jnp.int32
+    )
+    _, labr0, _, _ = m_ref._query(
+        params, pts, kf_c2w, kf_valid, kf_feats, kf_labels_r, kf_depths,
+        bound_j,
+    )
+    fused_r = m_fused.fuse_view_maps(kf_feats, kf_depths, kf_labels_r)
+    _, labr1, _, _ = m_fused._query(
+        params, pts, kf_c2w, kf_valid, fused_r, kf_labels_r, kf_depths,
+        bound_j,
+    )
+    seen = np.asarray(labr0) >= 0
+    if seen.sum() > 5:
+        agree = (np.asarray(labr0)[seen] == np.asarray(labr1)[seen]).mean()
+        # worst case (i.i.d. per-pixel labels): fused picks the same full-res
+        # pixel only when u,v are both even -> ~0.25 + 0.75/n_class expected;
+        # chance level is 1/n_class = 0.2. Real label maps are
+        # segment-constant, where agreement ~ 1 off segment boundaries.
+        assert agree > 0.25, f"label agreement {agree} at chance level"
