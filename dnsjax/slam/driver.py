@@ -313,6 +313,10 @@ class DNSSLAM:
             "color": jnp.asarray(frame["color"]),
             "depth": jnp.asarray(frame["depth"]),
             "label": jnp.asarray(frame["label"]),
+            # host copy kept alongside: the keystep needs labels on HOST for
+            # class_sorted_pixels / np.unique, and fetching the device array
+            # back costs a full-buffer transfer through the remote tunnel
+            "label_np": np.asarray(frame["label"]),
             "c2w": jnp.asarray(frame["c2w"]),
         }
 
@@ -429,7 +433,7 @@ class DNSSLAM:
             cur_sorted, cur_off = self._cur_sorted
         else:
             cur_sorted, cur_off = class_sorted_pixels(
-                np.asarray(cur["label"]), self.n_class
+                cur.get("label_np", np.asarray(cur["label"])), self.n_class
             )
             self._cur_sorted = (cur_sorted, cur_off)
         sorted_idx = gather(kf.sorted_idx, jnp.asarray(cur_sorted))
@@ -617,7 +621,9 @@ class DNSSLAM:
         new_decoders = self._set_decoder_counts(present, idx)
 
         if self.first_frame_optimized and new_decoders and idx > 50:
-            cur_classes = set(np.unique(np.asarray(cur["label"])).tolist())
+            cur_classes = set(
+                np.unique(cur.get("label_np", np.asarray(cur["label"]))).tolist()
+            )
             warm = [c for c in new_decoders if c in cur_classes]
             if warm:
                 mask = np.zeros(self.n_class, bool)
@@ -820,9 +826,11 @@ class DNSSLAM:
             f0 = self._frame_to_device(self.dataset[0])
             self.gt_c2w[0] = np.asarray(f0["c2w"])
             self.estimate_c2w[0] = self.gt_c2w[0]
+            # pass device arrays straight through: keyframes.add writes them
+            # into device-resident stores, so a host round trip here would be
+            # a pure waste of tunnel bandwidth
             self.keyframes.add(
-                {k: np.asarray(v) for k, v in f0.items() if k != "index"}
-                | {"index": 0},
+                {k: v for k, v in f0.items() if k != "index"} | {"index": 0},
                 self.gt_c2w[0],
             )
             if n > 1:
@@ -898,7 +906,7 @@ class DNSSLAM:
                             self._evict_keyframe()
                     if self.keyframes.count < self.keyframes.capacity:
                         self.keyframes.add(
-                            {k: np.asarray(v) for k, v in cur.items() if k != "index"}
+                            {k: v for k, v in cur.items() if k != "index"}
                             | {"index": idx},
                             self.estimate_c2w[idx],
                         )

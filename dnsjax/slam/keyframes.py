@@ -42,7 +42,7 @@ class KeyframeStore:
             )
         k = self.count
         sorted_idx, offsets = class_sorted_pixels(
-            np.asarray(frame["label"]), self.n_class
+            np.asarray(frame.get("label_np", frame["label"])), self.n_class
         )
         self.colors = self.colors.at[k].set(
             jnp.asarray(frame["color"], self.colors.dtype)
