@@ -1,20 +1,110 @@
-"""Trajectory / reconstruction replay visualizer.
+"""Trajectory / reconstruction visualizer: offline replay + live monitor.
 
 Counterpart of the reference visualizer.py + utils/viz.py (an open3d
 interactive replay with camera actors, trajectories, and live meshes;
 optionally captured to mp4). open3d isn't available in this environment, so
-dnsjax renders a matplotlib replay: per-frame 3D trajectory (est vs gt),
-camera frustum glyph, and the latest mesh vertices as a point cloud —
-written as png frames and optionally assembled to mp4 with ffmpeg if
-present.
+dnsjax renders with matplotlib in two modes:
+
+* replay (default): per-frame 3D trajectory (est vs gt), camera glyph, and
+  the latest mesh vertices as a point cloud — written as png frames and
+  optionally assembled to mp4 with ffmpeg if present.
+* ``--live``: follow a RUNNING SLAM process (the reference's live-monitor
+  use of utils/viz.py:14-209). The driver streams per-frame est/gt poses
+  into ``metrics.jsonl`` (slam/driver.py track events); this mode tails the
+  file, redraws on every new frame, picks up new ``mesh_*.ply`` files as
+  meshing produces them, and keeps ``live.png`` continuously updated until
+  the run goes idle.
 """
 
 from __future__ import annotations
 
 import argparse
 import glob
+import json
 import os
 import subprocess
+import time
+
+
+def _load_mesh_pts(ply_path, max_pts=20000):
+    import numpy as np
+    from dnsjax.mesh.export import read_ply
+
+    v, _, c, _ = read_ply(ply_path)
+    if v.shape[0] == 0:
+        return None
+    sel = np.random.default_rng(0).choice(
+        v.shape[0], size=min(max_pts, v.shape[0]), replace=False
+    )
+    return (v[sel], None if c is None else c[sel] / 255.0)
+
+
+def _draw(ax, est, gt, mesh_pts, idx, title=None):
+    if mesh_pts is not None:
+        ax.scatter(*mesh_pts[0].T, s=0.3, c=mesh_pts[1], alpha=0.35)
+    ax.plot(*gt[: idx + 1].T, "-", color="black", label="gt")
+    ax.plot(*est[: idx + 1].T, "-", color="tab:red", label="est")
+    ax.scatter(*est[idx].T, color="tab:red", s=40, marker="^")
+    ax.legend()
+    ax.set_title(title or f"frame {idx}")
+
+
+def _live(out, interval, idle_timeout):
+    """Tail metrics.jsonl and keep <out>/live.png current."""
+    import numpy as np
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    path = os.path.join(out, "metrics.jsonl")
+    live_png = os.path.join(out, "live.png")
+    est, gt, frames = [], [], []
+    pos = 0
+    mesh_pts, mesh_seen = None, None
+    last_new = time.time()
+    print(f"live monitor: following {path} (ctrl-c to stop)")
+    while True:
+        new = 0
+        if os.path.exists(path):
+            with open(path) as f:
+                f.seek(pos)
+                for line in f:
+                    if not line.endswith("\n"):
+                        break  # partial write; re-read next poll
+                    pos += len(line)
+                    try:
+                        ev = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if "c2w" in ev:
+                        est.append(np.asarray(ev["c2w"]).reshape(3, 4)[:, 3])
+                        gt.append(np.asarray(ev["gt_c2w"]).reshape(3, 4)[:, 3])
+                        frames.append(int(ev["frame"]))
+                        new += 1
+        meshes = sorted(glob.glob(os.path.join(out, "mesh_*.ply")))
+        if meshes and meshes[-1] != mesh_seen:
+            try:
+                mesh_pts = _load_mesh_pts(meshes[-1])
+                mesh_seen = meshes[-1]
+                new += 1
+            except Exception:
+                pass  # mid-write; retry next poll
+        if new and est:
+            fig = plt.figure(figsize=(7, 6))
+            ax = fig.add_subplot(projection="3d")
+            _draw(ax, np.asarray(est), np.asarray(gt), mesh_pts,
+                  len(est) - 1, title=f"frame {frames[-1]} (live)")
+            tmp = os.path.join(out, ".live.tmp.png")
+            fig.savefig(tmp, dpi=100)
+            plt.close(fig)
+            os.replace(tmp, live_png)  # atomic swap for concurrent viewers
+            last_new = time.time()
+        elif time.time() - last_new > idle_timeout:
+            print(f"no new frames for {idle_timeout:.0f}s; stopping "
+                  f"({len(est)} frames monitored)")
+            return
+        time.sleep(interval)
 
 
 def main(argv=None):
@@ -24,6 +114,13 @@ def main(argv=None):
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument("--every", type=int, default=5)
     parser.add_argument("--mp4", action="store_true")
+    parser.add_argument("--live", action="store_true",
+                        help="follow a running SLAM process (tails "
+                        "metrics.jsonl, keeps live.png updated)")
+    parser.add_argument("--interval", type=float, default=2.0,
+                        help="--live poll period (s)")
+    parser.add_argument("--idle-timeout", type=float, default=120.0,
+                        help="--live stops after this long with no new data")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -33,7 +130,6 @@ def main(argv=None):
     import matplotlib.pyplot as plt
 
     from dnsjax.config import load_config
-    from dnsjax.mesh.export import read_ply
     from dnsjax.models.checkpoint import load_checkpoint
 
     cfg = load_config(
@@ -43,32 +139,25 @@ def main(argv=None):
     out = args.output or os.path.join(
         cfg.get("out_dir", "output"), cfg.get("scene", "scene")
     )
+
+    if args.live:
+        _live(out, args.interval, args.idle_timeout)
+        return
+
     ckpt = load_checkpoint(args.checkpoint or os.path.join(out, "model.npz"))
     n = ckpt["meta"]["idx"] + 1
     est = ckpt["estimate_c2w"][:n, :3, 3]
     gt = ckpt["gt_c2w"][:n, :3, 3]
 
     meshes = sorted(glob.glob(os.path.join(out, "mesh_*.ply")))
-    mesh_pts = None
-    if meshes:
-        v, _, c, _ = read_ply(meshes[-1])
-        sel = np.random.default_rng(0).choice(
-            v.shape[0], size=min(20000, v.shape[0]), replace=False
-        )
-        mesh_pts = (v[sel], None if c is None else c[sel] / 255.0)
+    mesh_pts = _load_mesh_pts(meshes[-1]) if meshes else None
 
     frame_dir = os.path.join(out, "replay")
     os.makedirs(frame_dir, exist_ok=True)
     for k, idx in enumerate(range(1, n, args.every)):
         fig = plt.figure(figsize=(7, 6))
         ax = fig.add_subplot(projection="3d")
-        if mesh_pts is not None:
-            ax.scatter(*mesh_pts[0].T, s=0.3, c=mesh_pts[1], alpha=0.35)
-        ax.plot(*gt[: idx + 1].T, "-", color="black", label="gt")
-        ax.plot(*est[: idx + 1].T, "-", color="tab:red", label="est")
-        ax.scatter(*est[idx].T, color="tab:red", s=40, marker="^")
-        ax.legend()
-        ax.set_title(f"frame {idx}")
+        _draw(ax, est, gt, mesh_pts, idx)
         fig.savefig(os.path.join(frame_dir, f"replay_{k:05d}.png"), dpi=100)
         plt.close(fig)
     print(f"wrote {len(range(1, n, args.every))} replay frames to {frame_dir}")

@@ -761,6 +761,10 @@ class DNSSLAM:
             event="track", frame=idx, p_loss=float(metrics["p_loss"]),
             d_loss=float(metrics["d_loss"]), best_loss=float(metrics["best_loss"]),
             seconds=dt,
+            # streamed poses let `cli/visualizer.py --live` follow the run
+            # (reference: utils/viz.py live open3d monitor)
+            c2w=np.round(c2w[:3, :4], 6).reshape(-1).tolist(),
+            gt_c2w=np.round(self.gt_c2w[idx][:3, :4], 6).reshape(-1).tolist(),
         )
         return c2w
 

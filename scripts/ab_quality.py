@@ -105,6 +105,15 @@ VARIANTS = {
         pos=dict(kernel="quartic"),
         training=dict(smooth_every=4),
     ),
+    # hi/lo bf16-split variant of the same kernel (~f32-exact contributions,
+    # 2x matmul cost): isolates whether scpallas's gate failure was the bf16
+    # gradient quantization or trajectory noise
+    "tet4x8-quartic-sm4-scpallas-split": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_split"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4),
+    ),
     # tet2x16 with the quartic/sm4 bundle: halves encode gather rows again
     # (2 levels x 16 feats) — helps mapping AND tracking if quality holds
     "tet2x16-quartic-sm4": dict(

@@ -86,9 +86,16 @@ def main():
         timed(f"dense_matmul_scatter [{idx_name} idx]",
               scan_sink(pal_s, keys20), vals)
 
+        def pal_split(k, v, idx_fn=idx_fn):
+            out = dense_matmul_scatter(idx_fn(k), v, R, split=True)
+            return jnp.vdot(out, out)
+
+        timed(f"dense_matmul_scatter split [{idx_name} idx]",
+              scan_sink(pal_split, keys20), vals)
+
     # encode grad(table)-only through each backend
     p01 = jax.random.uniform(key, (N_PTS, 3))
-    for backend in ("xla", "pallas"):
+    for backend in ("xla", "pallas", "pallas_split"):
         spec = HashGridSpec(L, F, 16, 16, 600, grad_corners=1,
                             gather_bf16=True, interp="tet", scatter=backend)
         table = jax.random.normal(key, (L, R, F), jnp.float32) * 0.01

@@ -654,3 +654,27 @@ def test_map_device_second_device(tmp_path):
     assert list(leaf.devices())[0] == jax.devices()[0]
     err = np.abs(est[:, :3, 3] - gt[:, :3, 3]).max()
     assert err < 0.5, f"two-device SLAM diverged: {err}"
+
+
+def test_live_visualizer_follows_metrics(tmp_path):
+    """cli/visualizer.py --live tails metrics.jsonl track events (with the
+    streamed c2w/gt_c2w rows, driver._track) and keeps live.png updated."""
+    import json
+
+    from dnsjax.cli.visualizer import _live
+
+    out = str(tmp_path)
+    with open(f"{out}/metrics.jsonl", "w") as f:
+        for i in range(4):
+            c2w = np.eye(4)[:3, :4].copy()
+            c2w[0, 3] = 0.1 * i
+            f.write(json.dumps({
+                "event": "track", "frame": i, "seconds": 0.1,
+                "c2w": c2w.reshape(-1).tolist(),
+                "gt_c2w": c2w.reshape(-1).tolist(),
+            }) + "\n")
+        f.write('{"event": "map", "frame": 3}\n')  # no pose: ignored
+        f.write('{bad json\n')  # corrupt line: skipped
+
+    _live(out, interval=0.05, idle_timeout=0.3)
+    assert (tmp_path / "live.png").exists()
