@@ -147,6 +147,14 @@ class DNSSLAM:
         self.use_gt_camera = bool(cfg.get("use_gt_camera", False))
         self.const_speed = bool(cfg.get("const_speed_assumption", True))
         self.sync_method = str(cfg.get("sync_method", "strict"))
+        # outlier-frame tracking retry (robustness extension; the reference
+        # has no recovery path — a failed frame silently poisons the whole
+        # trajectory through the const-velocity init): when a frame's best
+        # loss exceeds retry_factor x the median of recent frames, re-track
+        # from the raw previous pose (no velocity extrapolation) with a
+        # fresh ray-sampling key and keep the lower-loss result. 0 = off.
+        self.track_retry_factor = float(tr.get("retry_factor", 3.0))
+        self._track_loss_hist: List[float] = []
 
         cap = int(mp.get("max_keyframes", 96))
         self.keyframes = KeyframeStore(cap, ds.H, ds.W, self.n_class)
@@ -741,6 +749,31 @@ class DNSSLAM:
             jnp.asarray(t7[:4]), jnp.asarray(t7[4:]),
             self.bound_j, self._next_key(),
         )
+        best_loss = float(metrics["best_loss"])
+        retried = False
+        hist = self._track_loss_hist
+        if (
+            self.track_retry_factor > 0
+            and len(hist) >= 5
+            and best_loss > self.track_retry_factor * float(np.median(hist[-20:]))
+        ):
+            # loss outlier: the const-velocity init likely put the optimizer
+            # in a bad basin. Re-track from the raw previous pose with fresh
+            # ray sampling; keep whichever candidate scored lower.
+            t7r = np.asarray(
+                tensor_from_camera(jnp.asarray(self.estimate_c2w[idx - 1]))
+            )
+            quad_r, T_r, metrics_r = self.track_fn(
+                self._track_params, feats, self._refer_w2c,
+                cur["color"], cur["depth"], cur["label"],
+                jnp.asarray(t7r[:4]), jnp.asarray(t7r[4:]),
+                self.bound_j, self._next_key(),
+            )
+            retry_loss = float(metrics_r["best_loss"])
+            retried = True
+            if retry_loss < best_loss:
+                quad, T, metrics, best_loss = quad_r, T_r, metrics_r, retry_loss
+        hist.append(best_loss)
         c2w = np.asarray(camera_from_tensor(jnp.concatenate([quad, T], 0)))
         self.estimate_c2w[idx] = c2w
         dt = time.perf_counter() - t0
@@ -759,8 +792,8 @@ class DNSSLAM:
                 f.write(line + "\n")
         self._log_metric(
             event="track", frame=idx, p_loss=float(metrics["p_loss"]),
-            d_loss=float(metrics["d_loss"]), best_loss=float(metrics["best_loss"]),
-            seconds=dt,
+            d_loss=float(metrics["d_loss"]), best_loss=best_loss,
+            retried=retried, seconds=dt,
             # streamed poses let `cli/visualizer.py --live` follow the run
             # (reference: utils/viz.py live open3d monitor)
             c2w=np.round(c2w[:3, :4], 6).reshape(-1).tolist(),

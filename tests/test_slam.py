@@ -678,3 +678,26 @@ def test_live_visualizer_follows_metrics(tmp_path):
 
     _live(out, interval=0.05, idle_timeout=0.3)
     assert (tmp_path / "live.png").exists()
+
+
+def test_tracking_retry_on_loss_outlier():
+    """When a frame's best loss is an outlier vs recent history, the driver
+    re-tracks from the raw previous pose and logs retried=true; with a
+    primed low-loss history every frame triggers, and the trajectory must
+    still come out finite and bounded (the retry keeps the better of the
+    two candidates, so it can only improve the pose)."""
+    import json
+    import os
+
+    cfg = synthetic_slam_config(n_frames=10, n_iters_track=10, n_iters_map=20)
+    cfg["tracking"]["retry_factor"] = 1e-6  # fire on every tracked frame
+    out = "/tmp/dnsjax_test_retry"
+    os.system(f"rm -rf {out}")
+    slam = DNSSLAM(cfg, output_dir=out)
+    est, gt = slam.run()
+    assert np.all(np.isfinite(est))
+    events = [json.loads(l) for l in open(f"{out}/metrics.jsonl")]
+    tracked = [e for e in events if e["event"] == "track"]
+    # history needs 5 entries before the gate can fire
+    assert any(e["retried"] for e in tracked[5:])
+    assert all("retried" in e for e in tracked)
