@@ -81,8 +81,11 @@ class HashGridSpec:
     # block becomes a bf16 matmul — no sort, no row-rate bound; gradient
     # contributions are bf16-quantized (the accumulation is f32).
     # "pallas_split" = same kernel with a hi/lo split (~f32-exact, 2x
-    # matmul cost). Pallas paths require grad_levels == 0 and a table
-    # that fits VMEM, else they silently fall back to XLA scatter.
+    # matmul cost). "pallas_sr" = single-matmul kernel with contributions
+    # stochastically rounded to the bf16 grid first (unbiased, plain-kernel
+    # speed — ops/scatter.stochastic_round_bf16). Pallas paths require
+    # grad_levels == 0 and a table that fits VMEM, else they silently fall
+    # back to XLA scatter.
     scatter: str = "xla"
 
     @property
@@ -288,7 +291,10 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
         isel = lvl_hot.reshape((n, spec.n_levels) + (1,) * (scatter_idx.ndim - 2))
         scatter_idx = jnp.sum(scatter_idx * isel.astype(scatter_idx.dtype), axis=1)
 
-    if spec.scatter in ("pallas", "pallas_split") and spec.grad_levels == 0:
+    if (
+        spec.scatter in ("pallas", "pallas_split", "pallas_sr")
+        and spec.grad_levels == 0
+    ):
         # per-level layout for the VMEM-resident matmul-scatter kernel
         # (indices carry the flat level offset; strip it back off)
         from dnsjax.ops.scatter import dense_matmul_scatter
@@ -309,8 +315,24 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
             int(min((int(r) + 1) ** 3, spec.table_size))
             for r in spec.level_resolutions()
         )  # dense-indexed small levels address n_verts^3 << T rows
+        lv32 = lv.astype(jnp.float32)
+        if spec.scatter == "pallas_sr":
+            # stochastically round contributions to the bf16 grid BEFORE the
+            # kernel: its internal .astype(bfloat16) is then exact, so the
+            # single-matmul path carries an unbiased (E[g]=g) gradient at
+            # plain-kernel speed (the round-to-nearest bias is what
+            # gate-failed scatter=pallas; split costs 2x matmuls).
+            from dnsjax.ops.scatter import sr_bits16, stochastic_round_bf16
+
+            bits = sr_bits16(
+                li[..., None],
+                jnp.arange(li.shape[1], dtype=jnp.uint32)[None, :, None],
+                jnp.arange(F, dtype=jnp.uint32)[None, None, :],
+                jnp.arange(L, dtype=jnp.uint32)[:, None, None],
+            )
+            lv32 = stochastic_round_bf16(lv32, bits)
         d_table = dense_matmul_scatter(
-            li, lv.astype(jnp.float32), spec.table_size,
+            li, lv32, spec.table_size,
             split=spec.scatter == "pallas_split",
             rows_used=rows_used,
         )

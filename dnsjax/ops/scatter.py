@@ -52,6 +52,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -163,6 +164,46 @@ def sorted_scatter_add(
         lambda: _pallas_sorted_scatter(sidx, svals, R),
         lambda: jnp.zeros((R, F), vals.dtype).at[idx].add(vals),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stochastic bf16 rounding — unbiased quantization for the single-matmul path
+# ---------------------------------------------------------------------------
+
+def sr_bits16(*salted: jnp.ndarray) -> jnp.ndarray:
+    """Stateless 16-bit uniforms from integer arrays (murmur3 finalizer).
+
+    Inputs broadcast together; each is premultiplied by a distinct odd
+    constant so (cell row, contribution slot, feature lane, level) tuples
+    decorrelate. Freshness across optimization steps comes from ray
+    resampling: a fixed contribution slot lands on a different cell each
+    iteration (same argument as hashgrid._stateless_uniform).
+    """
+    cs = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F)
+    h = jnp.uint32(0)
+    for i, a in enumerate(salted):
+        h = h ^ (a.astype(jnp.uint32) * np.uint32(cs[i % 4] + 2 * (i // 4)))
+    h = h ^ (h >> 16)
+    h = h * np.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * np.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h >> 16
+
+
+def stochastic_round_bf16(x: jnp.ndarray, bits16: jnp.ndarray) -> jnp.ndarray:
+    """Round f32 to the bf16 grid stochastically; returns f32 storage.
+
+    Adds a uniform 16-bit integer to the f32 bit pattern and truncates the
+    low 16 bits: the magnitude rounds up with probability equal to the
+    discarded fraction, so E[result] == x elementwise (the deterministic
+    `.astype(bfloat16)` the dense kernel applies is then exact, removing
+    the round-to-nearest bias that gate-failed the plain pallas backend —
+    AB_QUALITY.md adoption conclusions #4).
+    """
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    u = (u + bits16.astype(jnp.uint32)) & np.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -114,6 +114,15 @@ VARIANTS = {
         pos=dict(kernel="quartic"),
         training=dict(smooth_every=4),
     ),
+    # stochastic-rounding variant: unbiased bf16 contributions at plain
+    # single-matmul speed (the split run passed its gate decisively, so if
+    # this passes too the fast kernel is adoptable)
+    "tet4x8-quartic-sm4-scpallas-sr": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4),
+    ),
     # tet2x16 with the quartic/sm4 bundle: halves encode gather rows again
     # (2 levels x 16 feats) — helps mapping AND tracking if quality holds
     "tet2x16-quartic-sm4": dict(

@@ -95,7 +95,7 @@ def main():
 
     # encode grad(table)-only through each backend
     p01 = jax.random.uniform(key, (N_PTS, 3))
-    for backend in ("xla", "pallas", "pallas_split"):
+    for backend in ("xla", "pallas", "pallas_split", "pallas_sr"):
         spec = HashGridSpec(L, F, 16, 16, 600, grad_corners=1,
                             gather_bf16=True, interp="tet", scatter=backend)
         table = jax.random.normal(key, (L, R, F), jnp.float32) * 0.01

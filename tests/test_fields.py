@@ -280,6 +280,14 @@ def test_pallas_scatter_backward_matches_xla(rng):
         scale = np.abs(np.asarray(g_x)).max()
         assert np.abs(np.asarray(g_b) - np.asarray(g_x)).max() < 2e-2 * scale
 
+        # stochastic rounding: same quantization tolerance elementwise, but
+        # the aggregate signed error must shrink toward zero (unbiased),
+        # unlike plain bf16 round-to-nearest
+        g_s = jax.grad(loss)(table, HashGridSpec(**base, scatter="pallas_sr"))
+        err = np.asarray(g_s) - np.asarray(g_x)
+        assert np.abs(err).max() < 3e-2 * scale
+        assert abs(err.mean()) < 5e-5 * scale, f"grad_corners={gc}"
+
 
 def test_pallas_scatter_fallback_big_table(rng):
     """Tables too big for VMEM silently fall back to the XLA scatter."""

@@ -3,7 +3,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from dnsjax.ops.scatter import sorted_scatter_add, _B, _WPAD
+from dnsjax.ops.scatter import (
+    sorted_scatter_add, sr_bits16, stochastic_round_bf16, _B, _WPAD,
+)
 
 
 def _ref(idx, vals, R):
@@ -52,6 +54,50 @@ def test_degenerate_span_falls_back(rng):
     vals = jnp.asarray(rng.normal(size=(M, 8)).astype(np.float32))
     got = np.asarray(sorted_scatter_add(idx, vals, R))
     np.testing.assert_allclose(got, _ref(idx, vals, R), rtol=1e-4, atol=1e-4)
+
+
+def test_stochastic_round_bf16_exact_on_grid(rng):
+    """Values already on the bf16 grid pass through unchanged for ANY bits."""
+    x = jnp.asarray(
+        rng.normal(size=4096).astype(np.float32), jnp.float32
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    bits = sr_bits16(jnp.arange(4096), jnp.full((4096,), 7))
+    got = np.asarray(stochastic_round_bf16(x, bits))
+    np.testing.assert_array_equal(got, np.asarray(x))
+    # and every output must itself be bf16-representable
+    rt = got.astype(np.float32)
+    np.testing.assert_array_equal(
+        rt, np.asarray(jnp.asarray(rt).astype(jnp.bfloat16).astype(jnp.float32))
+    )
+
+
+def test_stochastic_round_bf16_unbiased():
+    """A constant value strictly between two bf16 neighbors must round to a
+    mix of both whose mean recovers the value (round-to-nearest would put
+    EVERY element on the same neighbor — the per-element bias that
+    gate-failed scatter=pallas, AB_QUALITY.md #4)."""
+    lo = np.float32(np.float32(1.0078125))  # bf16-representable
+    hi = np.asarray(
+        jnp.nextafter(jnp.bfloat16(lo), jnp.bfloat16(2.0)), np.float32
+    )
+    frac = 0.3
+    x = np.float32(lo + frac * (hi - lo))
+    n = 1 << 16
+    xs = jnp.full((n,), x, jnp.float32)
+    bits = sr_bits16(jnp.arange(n), jnp.full((n,), 3))
+    got = np.asarray(stochastic_round_bf16(xs, bits))
+    assert set(np.unique(got)) == {np.float32(lo), np.float32(hi)}
+    p_hi = float((got == hi).mean())
+    assert abs(p_hi - frac) < 0.02  # binomial 3-sigma at n=65536 is ~0.005
+    assert abs(float(got.mean()) - x) < 0.05 * (hi - lo)
+
+
+def test_sr_bits16_range_and_spread():
+    bits = np.asarray(sr_bits16(jnp.arange(1 << 14), jnp.full((1 << 14,), 1)))
+    assert bits.min() >= 0 and bits.max() < (1 << 16)
+    # crude uniformity: mean within 2% of 2^15, all 16 value-bits exercised
+    assert abs(bits.mean() - (1 << 15)) < 0.02 * (1 << 15)
+    assert np.unique(bits >> 12).size == 16
 
 
 def test_unpadded_length(rng):
