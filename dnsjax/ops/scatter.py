@@ -322,6 +322,11 @@ def dense_matmul_scatter(
         and R % max(P, 1) == 0
         and (R // max(P, 1)) % 8 == 0
         and R * F * 4 <= 8 * 1024 * 1024
+        # off-TPU the kernel runs in interpret mode, where the dense
+        # matmul formulation costs real FLOPs on the host — keep it for
+        # small CI shapes (correctness stays tested) but fall back to the
+        # XLA scatter at production sizes so CPU runs aren't 25x slower
+        and (jax.default_backend() == "tpu" or N <= 16384)
     )
     if not ok:
         flat = (idx + jnp.arange(L, dtype=idx.dtype)[:, None] * R).reshape(-1)

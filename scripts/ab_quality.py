@@ -26,7 +26,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _TPU_GRID = dict(n_levels=4, level_dim=8, grad_corners=1, gather_bf16=True,
-                 interp="trilinear", grad_levels=0)
+                 interp="trilinear", grad_levels=0, scatter="xla")
 
 VARIANTS = {
     # name -> {config section -> overrides}; sections: grid (model.grid),
@@ -37,7 +37,7 @@ VARIANTS = {
     # inherit it and stop measuring what its name says.
     "parity": dict(
         grid=dict(n_levels=16, level_dim=2, grad_corners=8, gather_bf16=False,
-                  interp="trilinear", grad_levels=0),
+                  interp="trilinear", grad_levels=0, scatter="xla"),
         tpu=dict(compute_dtype="float32", feature_taps=4),
         pos=dict(kernel="gaussian"),
         training=dict(smooth_every=1),
@@ -326,8 +326,19 @@ def main():
                 f"| {agg('depth_l1_cm')} | {agg('miou')} |"
             )
 
+    # preserve any hand-written analysis below the marker across regens
+    manual_marker = "<!-- MANUAL -->"
+    manual = ""
+    try:
+        old = open("AB_QUALITY.md").read()
+        if manual_marker in old:
+            manual = old[old.index(manual_marker):]
+    except FileNotFoundError:
+        pass
     with open("AB_QUALITY.md", "w") as f:
         f.write("\n".join(lines) + "\n")
+        if manual:
+            f.write("\n" + manual)
     print("\n".join(lines))
 
 
