@@ -79,6 +79,7 @@ class DecoderSpec:
             interp=str(m["grid"].get("interp", "trilinear")),
             grad_levels=int(m["grid"].get("grad_levels", 0)),
             scatter=str(m["grid"].get("scatter", "xla")),
+            gather=str(m["grid"].get("gather", "xla")),
         )
         return DecoderSpec(
             n_class=n_class,

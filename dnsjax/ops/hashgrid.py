@@ -87,6 +87,13 @@ class HashGridSpec:
     # grad_levels == 0 and a table that fits VMEM, else they silently fall
     # back to XLA scatter.
     scatter: str = "xla"
+    # Forward-gather backend. "xla" = row gathers (~4 ns/row on TPU).
+    # "pallas" = ops/gather.dense_matmul_gather: the packed bf16 level
+    # table stays VMEM-resident and each point block's corner lookups
+    # become one-hot MXU matmuls with interpolation fused in-kernel.
+    # Requires gather_bf16 (the kernel reproduces exactly that semantic:
+    # bf16 rows, f32 weights) and a VMEM-resident table, else falls back.
+    gather: str = "xla"
 
     @property
     def n_corners(self) -> int:
@@ -221,14 +228,46 @@ def hash_encode(table: jnp.ndarray, pts: jnp.ndarray, spec: HashGridSpec) -> jnp
     Returns:
       (..., L * F) encoded features, float32.
     """
-    out, _ = _hash_encode_fwd(table, pts, spec)
+    out, _ = _hash_encode_fwd(table, pts, spec, want_feats=False)
     return out
 
 
-def _hash_encode_fwd(table, pts, spec: HashGridSpec):
+def _rows_used(spec: HashGridSpec) -> tuple:
+    """Per-level count of addressable table rows (dense-indexed small
+    levels touch n_verts^3 << T rows); static window-skip input for the
+    Pallas gather/scatter kernels."""
+    return tuple(
+        int(min((int(r) + 1) ** 3, spec.table_size))
+        for r in spec.level_resolutions()
+    )
+
+
+def _hash_encode_fwd(table, pts, spec: HashGridSpec, want_feats: bool = True):
     batch_shape = pts.shape[:-1]
     p = jnp.clip(pts.reshape(-1, 3), 0.0, 1.0)
     idx, w, aux = _corner_indices_weights(p, spec)  # (N,L,C), (N,L,C), (N,L,3)
+
+    if spec.gather == "pallas" and spec.gather_bf16:
+        from dnsjax.ops.gather import dense_matmul_gather, use_pallas_gather
+
+        n = idx.shape[0]
+        if use_pallas_gather(
+            spec.n_levels, spec.table_size, spec.n_features, n
+        ):
+            off = jnp.arange(spec.n_levels, dtype=idx.dtype) * spec.table_size
+            li = (idx - off[None, :, None]).transpose(1, 2, 0)  # (L, C, N)
+            lw = w.transpose(1, 2, 0)
+            out_lnf, feats_lcnf = dense_matmul_gather(
+                li, lw, table, _rows_used(spec), want_feats=want_feats
+            )
+            out = out_lnf.transpose(1, 0, 2).reshape(
+                batch_shape + (spec.out_dim,)
+            )
+            feats = (
+                feats_lcnf.transpose(2, 0, 1, 3) if want_feats else None
+            )  # (N, L, C, F)
+            return out, (pts, idx, w, aux, feats)
+
     flat = table.reshape(-1, spec.n_features)  # (L*T, F)
     if spec.gather_bf16:
         flat = flat.astype(jnp.bfloat16)
@@ -311,10 +350,7 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
                 .reshape(L, -1)
             )
             lv = contrib.transpose(1, 0, 2, 3).reshape(L, -1, F)
-        rows_used = tuple(
-            int(min((int(r) + 1) ** 3, spec.table_size))
-            for r in spec.level_resolutions()
-        )  # dense-indexed small levels address n_verts^3 << T rows
+        rows_used = _rows_used(spec)
         lv32 = lv.astype(jnp.float32)
         if spec.scatter == "pallas_sr":
             # stochastically round contributions to the bf16 grid BEFORE the

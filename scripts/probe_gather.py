@@ -1,0 +1,86 @@
+"""Measure the Pallas matmul-gather forward vs the XLA row gather.
+
+Three rows per backend at the mapping shape (94k pts, TPU grid profile
+4x2^16x8 tet4x8, gather_bf16): forward-only encode, fwd+bwd with grads fed
+to the scalar sink (DCE-proofed), and the raw dense_matmul_gather kernel.
+Points are derived from per-iteration RNG so nothing hoists out of the
+timing scan (see probe_scatter2.py docstring for why integer perturbations
+are NOT a valid alternative).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/probe_gather.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from dnsjax.ops.hashgrid import HashGridSpec, hash_encode, init_hash_table
+
+N_PTS = 93624
+ITERS = 20
+TUNNEL_MS = 27.0
+
+BASE = dict(
+    n_levels=4, n_features=8, log2_hashmap_size=16,
+    base_resolution=16, desired_resolution=220,
+    interp="tet", grad_corners=1, gather_bf16=True, scatter="pallas_sr",
+)
+
+
+def timed(name, fn, *args):
+    out = fn(*args)
+    _ = float(out)
+    reps = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = float(fn(*args))
+        reps.append(time.perf_counter() - t0)
+    ms = (min(reps) * 1e3 - TUNNEL_MS) / ITERS
+    print(f"{name:52s} {ms:8.2f} ms/iter", flush=True)
+    return ms
+
+
+def scan_sink(body, keys):
+    @jax.jit
+    def run(*args):
+        def step(c, k):
+            return c, body(k, *args)
+
+        _, outs = jax.lax.scan(step, 0, keys)
+        return jnp.vdot(outs, outs)
+
+    return run
+
+
+def main():
+    print("backend:", jax.default_backend(), jax.devices()[0], flush=True)
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, ITERS)
+
+    for gather in ("xla", "pallas"):
+        spec = HashGridSpec(**BASE, gather=gather)
+        table = init_hash_table(jax.random.PRNGKey(1), spec)
+
+        def fwd(k, t, spec=spec):
+            p = jax.random.uniform(k, (N_PTS, 3))
+            return jnp.vdot(hash_encode(t, p, spec), 1.0)
+
+        def fwdbwd(k, t, spec=spec):
+            p = jax.random.uniform(k, (N_PTS, 3))
+
+            def loss(t, p):
+                e = hash_encode(t, p, spec)
+                return jnp.sum(e * (1.0 + 1e-3 * e))
+
+            l, (gt, gp) = jax.value_and_grad(loss, argnums=(0, 1))(t, p)
+            return l + jnp.vdot(gt, gt) + jnp.vdot(gp, gp)
+
+        timed(f"encode fwd        [gather={gather}]",
+              scan_sink(fwd, keys), table)
+        timed(f"encode fwd+bwd    [gather={gather}]",
+              scan_sink(fwdbwd, keys), table)
+
+
+if __name__ == "__main__":
+    main()

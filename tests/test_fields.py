@@ -309,3 +309,77 @@ def test_pallas_scatter_fallback_big_table(rng):
         np.asarray(jax.grad(loss)(table, xla)),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_pallas_gather_forward_matches_xla(rng):
+    """The fused matmul-gather forward reproduces the gather_bf16 XLA path
+    (bf16 rows, f32 weights) to summation-order tolerance, for both interp
+    modes, with dense + hashed levels and a non-block-multiple N."""
+    pts = jnp.asarray(rng.uniform(size=(3000, 3)).astype(np.float32))
+    for interp in ("tet", "trilinear"):
+        base = dict(
+            n_levels=3, n_features=8, log2_hashmap_size=14,
+            base_resolution=4, desired_resolution=32,
+            interp=interp, gather_bf16=True,
+        )
+        xla = HashGridSpec(**base, gather="xla")
+        pal = HashGridSpec(**base, gather="pallas")
+        table = init_hash_table(jax.random.PRNGKey(3), xla)
+        np.testing.assert_allclose(
+            np.asarray(hash_encode(table, pts, pal)),
+            np.asarray(hash_encode(table, pts, xla)),
+            rtol=1e-5, atol=1e-7, err_msg=interp,
+        )
+
+
+def test_pallas_gather_gradients_match_xla(rng):
+    """Table AND position gradients through the pallas-gather forward match
+    the XLA path (the kernel's per-corner feats residual must be the same
+    bf16-quantized rows the XLA backward saved)."""
+    pts = jnp.asarray(rng.uniform(size=(2000, 3)).astype(np.float32))
+    for gc in (1, 4):
+        base = dict(
+            n_levels=2, n_features=8, log2_hashmap_size=11,
+            base_resolution=4, desired_resolution=16,
+            interp="tet", grad_corners=gc, gather_bf16=True,
+        )
+        xla = HashGridSpec(**base, gather="xla")
+        pal = HashGridSpec(**base, gather="pallas")
+        table = init_hash_table(jax.random.PRNGKey(7), xla)
+
+        def loss(t, q, spec):
+            return jnp.sum(hash_encode(t, q, spec) ** 2)
+
+        gt_x, gp_x = jax.grad(loss, argnums=(0, 1))(table, pts, xla)
+        gt_p, gp_p = jax.grad(loss, argnums=(0, 1))(table, pts, pal)
+        np.testing.assert_allclose(
+            np.asarray(gt_p), np.asarray(gt_x), rtol=1e-5, atol=1e-7,
+            err_msg=f"table grad, grad_corners={gc}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(gp_p), np.asarray(gp_x), rtol=1e-4, atol=1e-6,
+            err_msg=f"pos grad, grad_corners={gc}",
+        )
+
+
+def test_pallas_gather_requires_bf16_and_falls_back(rng):
+    """gather=pallas without gather_bf16 (or with an over-size table) must
+    silently take the exact XLA path."""
+    pts = jnp.asarray(rng.uniform(size=(500, 3)).astype(np.float32))
+    f32 = HashGridSpec(4, 2, 10, 4, 64, gather="pallas")  # no gather_bf16
+    table = init_hash_table(jax.random.PRNGKey(1), f32)
+    np.testing.assert_allclose(
+        np.asarray(hash_encode(table, pts, f32)),
+        hash_encode_ref(np.asarray(table), np.asarray(pts), f32),
+        rtol=1e-5, atol=1e-6,
+    )
+    big = HashGridSpec(
+        1, 2, 21, 4, 512, gather="pallas", gather_bf16=True
+    )  # 2^21 x 2 bf16 = 8 MB > VMEM budget -> fallback
+    table_b = init_hash_table(jax.random.PRNGKey(2), big)
+    xla_b = HashGridSpec(1, 2, 21, 4, 512, gather_bf16=True)
+    np.testing.assert_allclose(
+        np.asarray(hash_encode(table_b, pts, big)),
+        np.asarray(hash_encode(table_b, pts, xla_b)),
+        rtol=1e-6, atol=1e-8,
+    )
