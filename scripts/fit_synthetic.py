@@ -10,12 +10,16 @@ Expect (TPU profile, tet4x8 bf16): PSNR > 35 dB, depth L1 < 1 cm, semantic
 acc ~= 1.0 in ~1200 iters of 512 rays.
 """
 
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dnsjax.data.synthetic import SyntheticDataset, synthetic_config
 from dnsjax.geometry.rays import rays_from_uv, ray_box_far
