@@ -170,3 +170,33 @@ def test_full_renderer_dp_matches_single():
     for a, b in zip(o1, o2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_dryrun_survives_poisoned_tpu_env():
+    """dryrun_multichip must complete even when the TPU-plugin env points at
+    a dead tunnel. Two historical failure modes: (r1/r2) the child inherited
+    the plugin env and its sitecustomize OVERRODE JAX_PLATFORMS=cpu; (r3) a
+    down tunnel makes jax.devices() HANG (not raise) in the parent probe.
+    A bogus unroutable pool IP reproduces both shapes: the probe subprocess
+    hangs or fails, and the hermetic CPU child must still run to rc=0."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    axon_site = "/root/.axon_site"
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = "10.255.255.255"  # unroutable
+    env["JAX_PLATFORMS"] = "axon"
+    env.pop("_DNSJAX_DRYRUN_CHILD", None)
+    pyp = [p for p in (here,) + ((axon_site,) if os.path.isdir(axon_site) else ())]
+    env["PYTHONPATH"] = os.pathsep.join(pyp)
+    # drop conftest's virtual-device XLA flag: the child sets its own
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(4)"],
+        env=env, cwd=here, capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "dryrun_multichip OK" in r.stdout
