@@ -152,11 +152,15 @@ def use_pallas_gather(n_levels, table_size, F, n_pts) -> bool:
     matmuls cost real host FLOPs: keep small CI shapes (correctness stays
     tested), fall back to the XLA gather at production sizes."""
     P = _LANES // F if 0 < F <= _LANES else 0
+    G = table_size // P if P else 0
     return (
         P > 0
         and _LANES % F == 0
         and table_size % P == 0
-        and (table_size // P) % 8 == 0
+        and G % 8 == 0
+        # windows must tile the packed rows exactly (any power-of-two table
+        # qualifies); otherwise the static window loop would slice past G
+        and G % min(512, G) == 0
         and table_size * F * 2 <= 4 * 1024 * 1024
         and (jax.default_backend() == "tpu" or n_pts <= 16384)
     )

@@ -315,12 +315,18 @@ def dense_matmul_scatter(
     L, N = idx.shape
     F = vals.shape[-1]
     P = _LANES // F if F <= _LANES else 0
+    packed_rows_chk = R // max(P, 1)
     ok = (
         use_pallas
         and F <= _LANES
         and _LANES % F == 0
         and R % max(P, 1) == 0
-        and (R // max(P, 1)) % 8 == 0
+        and packed_rows_chk % 8 == 0
+        # windows must tile the packed rows exactly (any power-of-two table
+        # qualifies); otherwise n_windows = packed_rows // w_rows would
+        # silently DROP contributions to the tail rows beyond the last
+        # full window
+        and packed_rows_chk % min(512, packed_rows_chk) == 0
         and R * F * 4 <= 8 * 1024 * 1024
         # off-TPU the kernel runs in interpret mode, where the dense
         # matmul formulation costs real FLOPs on the host — keep it for

@@ -107,3 +107,16 @@ def test_unpadded_length(rng):
     vals = jnp.asarray(rng.normal(size=(M, 8)).astype(np.float32))
     got = np.asarray(sorted_scatter_add(idx, vals, R))
     np.testing.assert_allclose(got, _ref(idx, vals, R), rtol=1e-5, atol=1e-5)
+
+
+def test_dense_scatter_non_window_multiple_table_falls_back(rng):
+    """A table whose packed rows don't tile into 512-row windows must take
+    the exact XLA path (the window loop would otherwise drop tail rows)."""
+    from dnsjax.ops.scatter import dense_matmul_scatter
+
+    R = 1600 * 16  # packed rows 1600 with F=8: not a multiple of 512
+    idx = jnp.asarray(rng.integers(0, R, (1, 4096)), jnp.int32)
+    vals = jnp.asarray(rng.normal(size=(1, 4096, 8)).astype(np.float32))
+    got = np.asarray(dense_matmul_scatter(idx, vals, R))[0]
+    np.testing.assert_allclose(got, _ref(idx[0], vals[0], R), rtol=1e-5,
+                               atol=1e-6)
