@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from dnsjax.mesh.marching import marching_tetrahedra, face_normals
 from dnsjax.mesh.export import write_ply, read_ply
@@ -132,6 +133,7 @@ def test_depth_l1_virtual_views():
     assert 1.0 < shifted["depth_l1_cm"] < 20.0
 
 
+@pytest.mark.slow
 def test_vertex_attr_interpolate_matches_requery():
     """Interpolated vertex colors/labels (single-pass extraction) agree
     with the reference-style vertex re-query on a fitted synthetic map."""
@@ -175,6 +177,7 @@ def test_vertex_attr_interpolate_matches_requery():
     assert agree > 0.95, f"label agreement {agree}"
 
 
+@pytest.mark.slow
 def test_hierarchical_query_matches_dense():
     """Coarse-to-fine extraction reproduces the dense grid's mesh on a
     fitted synthetic map (the flag criterion must catch every surface
