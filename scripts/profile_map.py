@@ -54,13 +54,15 @@ def main():
     import sys
     interp = sys.argv[1] if len(sys.argv) > 1 else "tet"
     scatter = sys.argv[2] if len(sys.argv) > 2 else "xla"
+    gather = sys.argv[3] if len(sys.argv) > 3 else "xla"
     spec = DecoderSpec(
         n_class=N_CLASS,
         grid=HashGridSpec(4, 8, 16, 16, int(dim_max / 0.02), grad_corners=1,
-                          gather_bf16=True, interp=interp, scatter=scatter),
+                          gather_bf16=True, interp=interp, scatter=scatter,
+                          gather=gather),
         n_bins=16,
     )
-    print(f"profile: interp={interp} scatter={scatter}")
+    print(f"profile: interp={interp} scatter={scatter} gather={gather}")
     params = init_decoder_params(jax.random.PRNGKey(0), spec)
     mcfg = MapConfig(
         H=H, W=W, fx=fx, fy=fx, cx=cx, cy=cy,
