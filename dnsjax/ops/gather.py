@@ -146,11 +146,13 @@ def _level_gather(idx, w, packed, rows_used, F, want_feats, block):
     return out, None
 
 
-def use_pallas_gather(n_levels, table_size, F, n_pts) -> bool:
-    """Kernel applicability: packed bf16 level table must fit VMEM and the
-    feature width must pack lanes exactly. Off-TPU the interpret-mode
-    matmuls cost real host FLOPs: keep small CI shapes (correctness stays
-    tested), fall back to the XLA gather at production sizes."""
+def use_pallas_gather(table_size, F, n_pts) -> bool:
+    """Kernel applicability: the packed bf16 PER-LEVEL table must fit VMEM
+    (levels run as separate pallas calls, so the bound is per level, not
+    sum-over-L) and the feature width must pack lanes exactly. Off-TPU the
+    interpret-mode matmuls cost real host FLOPs: keep small CI shapes
+    (correctness stays tested), fall back to the XLA gather at production
+    sizes."""
     P = _LANES // F if 0 < F <= _LANES else 0
     G = table_size // P if P else 0
     return (

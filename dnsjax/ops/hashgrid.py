@@ -251,9 +251,7 @@ def _hash_encode_fwd(table, pts, spec: HashGridSpec, want_feats: bool = True):
         from dnsjax.ops.gather import dense_matmul_gather, use_pallas_gather
 
         n = idx.shape[0]
-        if use_pallas_gather(
-            spec.n_levels, spec.table_size, spec.n_features, n
-        ):
+        if use_pallas_gather(spec.table_size, spec.n_features, n):
             off = jnp.arange(spec.n_levels, dtype=idx.dtype) * spec.table_size
             li = (idx - off[None, :, None]).transpose(1, 2, 0)  # (L, C, N)
             lw = w.transpose(1, 2, 0)

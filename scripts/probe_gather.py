@@ -64,7 +64,8 @@ def main():
 
         def fwd(k, t, spec=spec):
             p = jax.random.uniform(k, (N_PTS, 3))
-            return jnp.vdot(hash_encode(t, p, spec), 1.0)
+            e = hash_encode(t, p, spec)
+            return jnp.vdot(e, e)
 
         def fwdbwd(k, t, spec=spec):
             p = jax.random.uniform(k, (N_PTS, 3))
@@ -80,6 +81,33 @@ def main():
               scan_sink(fwd, keys), table)
         timed(f"encode fwd+bwd    [gather={gather}]",
               scan_sink(fwdbwd, keys), table)
+
+    # raw kernel in isolation (no index/weight computation, no VJP):
+    # C uniform random rows + weights per level per iteration
+    from dnsjax.ops.gather import dense_matmul_gather
+    from dnsjax.ops.hashgrid import _rows_used
+
+    spec = HashGridSpec(**BASE, gather="pallas")
+    table = init_hash_table(jax.random.PRNGKey(1), spec)
+    L, C = spec.n_levels, spec.n_corners
+    R = spec.table_size
+    rows_used = _rows_used(spec)
+
+    for wf in (False, True):
+        def raw(k, t, wf=wf):
+            ki, kw = jax.random.split(k)
+            li = jax.random.randint(ki, (L, C, N_PTS), 0, R)
+            lw = jax.random.uniform(kw, (L, C, N_PTS))
+            out, feats = dense_matmul_gather(
+                li, lw, t, rows_used, want_feats=wf
+            )
+            s = jnp.vdot(out, out)
+            if wf:
+                s = s + jnp.vdot(feats, feats)
+            return s
+
+        timed(f"raw dense_matmul_gather  [want_feats={wf}]",
+              scan_sink(raw, keys), table)
 
 
 if __name__ == "__main__":
