@@ -112,3 +112,80 @@ def invert_se3(M: jnp.ndarray) -> jnp.ndarray:
     Rt = jnp.swapaxes(R, -1, -2)
     t_inv = -_einsum("...ij,...j->...i", Rt, t)
     return compose_c2w(Rt, t_inv)
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) twins — for the driver's per-frame pose bookkeeping. Through
+# the remote-TPU tunnel every tiny device computation costs a dispatch AND
+# its result fetch costs a full roundtrip; quat<->matrix conversions of ONE
+# pose are host work. Semantics identical to the jnp versions above
+# (equivalence-tested in tests/test_geometry.py).
+# ---------------------------------------------------------------------------
+
+import numpy as _np  # noqa: E402
+
+
+def quat_to_rotation_np(q: "_np.ndarray") -> "_np.ndarray":
+    q = _np.asarray(q, _np.float64)
+    qr, qi, qj, qk = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    two_s = 2.0 / _np.sum(q * q, axis=-1)
+    r = _np.stack(
+        [
+            1 - two_s * (qj**2 + qk**2),
+            two_s * (qi * qj - qk * qr),
+            two_s * (qi * qk + qj * qr),
+            two_s * (qi * qj + qk * qr),
+            1 - two_s * (qi**2 + qk**2),
+            two_s * (qj * qk - qi * qr),
+            two_s * (qi * qk - qj * qr),
+            two_s * (qj * qk + qi * qr),
+            1 - two_s * (qi**2 + qj**2),
+        ],
+        axis=-1,
+    )
+    return r.reshape(q.shape[:-1] + (3, 3))
+
+
+def rotation_to_quat_np(R: "_np.ndarray") -> "_np.ndarray":
+    R = _np.asarray(R, _np.float64)
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    qw2 = _np.maximum(0.0, 1.0 + tr)
+    qx2 = _np.maximum(0.0, 1.0 + m00 - m11 - m22)
+    qy2 = _np.maximum(0.0, 1.0 - m00 + m11 - m22)
+    qz2 = _np.maximum(0.0, 1.0 - m00 - m11 + m22)
+    cw = _np.stack([qw2, m21 - m12, m02 - m20, m10 - m01], axis=-1)
+    cx = _np.stack([m21 - m12, qx2, m01 + m10, m02 + m20], axis=-1)
+    cy = _np.stack([m02 - m20, m01 + m10, qy2, m12 + m21], axis=-1)
+    cz = _np.stack([m10 - m01, m02 + m20, m12 + m21, qz2], axis=-1)
+    mags = _np.stack([qw2, qx2, qy2, qz2], axis=-1)
+    best = _np.argmax(mags, axis=-1)
+    cands = _np.stack([cw, cx, cy, cz], axis=-2)
+    q = _np.take_along_axis(
+        cands, best[..., None, None].repeat(4, -1), axis=-2
+    )[..., 0, :]
+    q = q / _np.linalg.norm(q, axis=-1, keepdims=True)
+    return q * _np.where(q[..., 0:1] < 0, -1.0, 1.0)
+
+
+def compose_c2w_np(R: "_np.ndarray", T: "_np.ndarray") -> "_np.ndarray":
+    batch = R.shape[:-2]
+    out = _np.zeros(batch + (4, 4), _np.float64)
+    out[..., :3, :3] = R
+    out[..., :3, 3] = T
+    out[..., 3, 3] = 1.0
+    return out
+
+
+def camera_from_tensor_np(t: "_np.ndarray") -> "_np.ndarray":
+    t = _np.asarray(t, _np.float64)
+    return compose_c2w_np(quat_to_rotation_np(t[..., :4]), t[..., 4:])
+
+
+def tensor_from_camera_np(c2w: "_np.ndarray") -> "_np.ndarray":
+    c2w = _np.asarray(c2w, _np.float64)
+    return _np.concatenate(
+        [rotation_to_quat_np(c2w[..., :3, :3]), c2w[..., :3, 3]], axis=-1
+    )

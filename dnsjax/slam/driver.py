@@ -27,8 +27,12 @@ import jax
 import jax.numpy as jnp
 
 from dnsjax.data import get_dataset
-from dnsjax.geometry.se3 import tensor_from_camera, camera_from_tensor
-from dnsjax.losses import mse2psnr
+from dnsjax.geometry.se3 import (
+    tensor_from_camera,
+    camera_from_tensor,
+    tensor_from_camera_np,
+    camera_from_tensor_np,
+)
 from dnsjax.models.decoder import DecoderSpec, init_decoder_params, decoder_param_count
 from dnsjax.models.encoder import init_encoder_params, encode_images
 from dnsjax.slam.keyframes import KeyframeStore
@@ -325,6 +329,7 @@ class DNSSLAM:
             # class_sorted_pixels / np.unique, and fetching the device array
             # back costs a full-buffer transfer through the remote tunnel
             "label_np": np.asarray(frame["label"]),
+            "c2w_np": np.asarray(frame["c2w"]),
             "c2w": jnp.asarray(frame["c2w"]),
         }
 
@@ -567,12 +572,20 @@ class DNSSLAM:
         self._track_params = self.params
         t_block = time.perf_counter() - t0
         self.map_times.append(p["t_dispatch"] + t_block)
+        # ONE packed fetch for the logged scalars (tunnel roundtrips)
+        pk = np.asarray(
+            aux.get("packed", jnp.stack([aux["p_loss"], aux["d_loss"],
+                                         aux["l_loss"], aux["lt_loss"]])),
+            np.float64,
+        )
+        p_loss, d_loss, l_loss, lt_loss = (float(v) for v in pk[:4])
         if self.verbose:
+            psnr = -10.0 * np.log10(max(p_loss, 1e-12))
             line = (
-                f"Frame {idx} BACK: rgb {float(aux['p_loss']):.4f} "
-                f"psnr {float(mse2psnr(aux['p_loss'])):.2f} "
-                f"d {float(aux['d_loss']):.4f} l {float(aux['l_loss']):.4f} "
-                f"lt {float(aux['lt_loss']):.4f} "
+                f"Frame {idx} BACK: rgb {p_loss:.4f} "
+                f"psnr {psnr:.2f} "
+                f"d {d_loss:.4f} l {l_loss:.4f} "
+                f"lt {lt_loss:.4f} "
                 f"{p['t_dispatch']:.1f}+{t_block:.1f}s"
             )
             print(line)
@@ -582,8 +595,8 @@ class DNSSLAM:
                 f.write(line + "\n")
         self._log_metric(
             event="map", frame=idx,
-            p_loss=float(aux["p_loss"]), d_loss=float(aux["d_loss"]),
-            l_loss=float(aux["l_loss"]), lt_loss=float(aux["lt_loss"]),
+            p_loss=p_loss, d_loss=d_loss,
+            l_loss=l_loss, lt_loss=lt_loss,
             seconds=self.map_times[-1], dispatch_seconds=p["t_dispatch"],
             n_keyframes=self.keyframes.count,
         )
@@ -742,14 +755,17 @@ class DNSSLAM:
             self.enc_params, jnp.stack([self._refer_color, cur["color"]], 0)
         )
         est0 = pose_init_const_velocity(self.estimate_c2w, idx, self.const_speed)
-        t7 = np.asarray(tensor_from_camera(jnp.asarray(est0)))
-        quad, T, metrics = self.track_fn(
+        # host-side quat conversion + ONE packed fetch per track call: through
+        # the remote tunnel every tiny device dispatch/fetch is a roundtrip
+        t7 = tensor_from_camera_np(est0).astype(np.float32)
+        _, _, metrics = self.track_fn(
             self._track_params, feats, self._refer_w2c,
             cur["color"], cur["depth"], cur["label"],
             jnp.asarray(t7[:4]), jnp.asarray(t7[4:]),
             self.bound_j, self._next_key(),
         )
-        best_loss = float(metrics["best_loss"])
+        pk = np.asarray(metrics["packed"], np.float64)  # [quad, T, bl, p, d]
+        best_loss = float(pk[7])
         retried = False
         hist = self._track_loss_hist
         if (
@@ -760,39 +776,42 @@ class DNSSLAM:
             # loss outlier: the const-velocity init likely put the optimizer
             # in a bad basin. Re-track from the raw previous pose with fresh
             # ray sampling; keep whichever candidate scored lower.
-            t7r = np.asarray(
-                tensor_from_camera(jnp.asarray(self.estimate_c2w[idx - 1]))
+            t7r = tensor_from_camera_np(self.estimate_c2w[idx - 1]).astype(
+                np.float32
             )
-            quad_r, T_r, metrics_r = self.track_fn(
+            _, _, metrics_r = self.track_fn(
                 self._track_params, feats, self._refer_w2c,
                 cur["color"], cur["depth"], cur["label"],
                 jnp.asarray(t7r[:4]), jnp.asarray(t7r[4:]),
                 self.bound_j, self._next_key(),
             )
-            retry_loss = float(metrics_r["best_loss"])
+            pk_r = np.asarray(metrics_r["packed"], np.float64)
             retried = True
-            if retry_loss < best_loss:
-                quad, T, metrics, best_loss = quad_r, T_r, metrics_r, retry_loss
+            if float(pk_r[7]) < best_loss:
+                pk, best_loss = pk_r, float(pk_r[7])
         hist.append(best_loss)
-        c2w = np.asarray(camera_from_tensor(jnp.concatenate([quad, T], 0)))
+        p_loss, d_loss = float(pk[8]), float(pk[9])
+        c2w = camera_from_tensor_np(pk[:7]).astype(np.float32)
         self.estimate_c2w[idx] = c2w
         dt = time.perf_counter() - t0
         self.track_times.append(dt)
         if self.verbose:
-            p = float(metrics["p_loss"])
-            gt7 = np.asarray(tensor_from_camera(jnp.asarray(cur["c2w"])))
-            err = float(np.abs(gt7 - np.concatenate([np.asarray(quad), np.asarray(T)])).mean())
+            gt7 = tensor_from_camera_np(
+                cur.get("c2w_np", np.asarray(cur["c2w"]))
+            )
+            err = float(np.abs(gt7 - pk[:7]).mean())
+            psnr = -10.0 * np.log10(max(p_loss, 1e-12))
             line = (
-                f"Frame {idx} FRONT: rgb {p:.4f} psnr "
-                f"{float(mse2psnr(jnp.asarray(p))):.2f} "
-                f"d {float(metrics['d_loss']):.4f} ATE~{err:.6f} {dt:.2f}s"
+                f"Frame {idx} FRONT: rgb {p_loss:.4f} psnr "
+                f"{psnr:.2f} "
+                f"d {d_loss:.4f} ATE~{err:.6f} {dt:.2f}s"
             )
             print(line)
             with open(os.path.join(self.out_dir, "output_front.txt"), "a") as f:
                 f.write(line + "\n")
         self._log_metric(
-            event="track", frame=idx, p_loss=float(metrics["p_loss"]),
-            d_loss=float(metrics["d_loss"]), best_loss=best_loss,
+            event="track", frame=idx, p_loss=p_loss,
+            d_loss=d_loss, best_loss=best_loss,
             retried=retried, seconds=dt,
             # streamed poses let `cli/visualizer.py --live` follow the run
             # (reference: utils/viz.py live open3d monitor)

@@ -273,6 +273,11 @@ def _build_loss_fn(
             "p_loss": p_loss, "d_loss": d_loss, "l_loss": l_loss,
             "lt_loss": lt_loss, "sm_loss": sm_loss,
             "fs_loss": fs_loss, "op_loss": op_loss,
+            # one-buffer copy of the scalars the driver logs per keystep:
+            # each device->host fetch is a full tunnel roundtrip
+            "packed": jnp.stack(
+                [p_loss, d_loss, l_loss, lt_loss]
+            ).astype(jnp.float32),
         }
         return loss, aux
 

@@ -240,6 +240,19 @@ def make_track_fn(
             "d_loss": best_pd[1],
             "losses": losses,
             "n_iters_run": n_done,
+            # everything the driver needs per frame as ONE buffer: through
+            # the remote-TPU tunnel each device->host fetch is a full
+            # roundtrip, so the driver reads this single vector instead of
+            # 5-6 separate scalars/arrays (host numpy does the quat->c2w)
+            "packed": jnp.concatenate(
+                [
+                    best_quad.astype(jnp.float32),
+                    best_T.astype(jnp.float32),
+                    jnp.stack([best_loss, best_pd[0], best_pd[1]]).astype(
+                        jnp.float32
+                    ),
+                ]
+            ),
         }
         return best_quad, best_T, metrics
 

@@ -157,3 +157,36 @@ def test_all_rays_shape():
     assert o.shape == (4, 6, 3) and d.shape == (4, 6, 3)
     # ray at pixel (i=3, j=2) is the principal axis
     np.testing.assert_allclose(np.asarray(d)[2, 3], [0, 0, -1], atol=1e-6)
+
+
+def test_se3_numpy_twins_match_jnp(rng):
+    """Host-side quat/pose conversions must equal the jnp versions."""
+    import jax
+    import jax.numpy as jnp
+    from dnsjax.geometry.se3 import (
+        camera_from_tensor, camera_from_tensor_np,
+        tensor_from_camera, tensor_from_camera_np,
+        quat_to_rotation, quat_to_rotation_np,
+        rotation_to_quat,
+    )
+
+    q = rng.normal(size=(64, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t = rng.normal(size=(64, 3))
+    t7 = np.concatenate([q, t], -1)
+    np.testing.assert_allclose(
+        camera_from_tensor_np(t7),
+        np.asarray(camera_from_tensor(jnp.asarray(t7))),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        quat_to_rotation_np(q),
+        np.asarray(quat_to_rotation(jnp.asarray(q))),
+        rtol=1e-5, atol=1e-6,
+    )
+    c2w = camera_from_tensor_np(t7)
+    np.testing.assert_allclose(
+        tensor_from_camera_np(c2w),
+        np.asarray(tensor_from_camera(jnp.asarray(c2w))),
+        rtol=1e-5, atol=1e-6,
+    )
