@@ -63,7 +63,40 @@ def _min3(fn):
     return min(ts) - TUNNEL_S
 
 
+def _require_live_backend(timeout_s: float = 240.0) -> None:
+    """Fail FAST (rc=3, clear message) when the TPU tunnel is down.
+
+    jax backend init HANGS (blocking connect), it does not raise, when the
+    remote-TPU relay is dead — an unguarded bench would then hang the
+    driver's round-end capture indefinitely. Probe init in a short-lived
+    subprocess first (same defense as __graft_entry__.dryrun_multichip)."""
+    import os
+    import subprocess
+    import sys
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # local backends init synchronously (raise, never hang)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            env=dict(os.environ), capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        ok = r.returncode == 0 and r.stdout.strip()
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print(
+            "bench: TPU backend failed to initialize within "
+            f"{timeout_s:.0f}s (axon tunnel down?) — refusing to hang. "
+            "Re-run when jax.devices() answers.",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+
+
 def main():
+    _require_live_backend()
     import jax
     import jax.numpy as jnp
 
