@@ -111,6 +111,14 @@ def decoder_param_count(params: Params) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
 
 
+# Pluggable grid encode. parallel/tp.py swaps in the row-sharded
+# hash_encode_tp for the duration of ITS trace (set + restore inside the
+# traced body, so the hook is active exactly while jit traces that program
+# and never leaks into other programs). Single-threaded tracing assumed
+# (JAX's own trace machinery already is).
+GRID_ENCODE = hash_encode
+
+
 def pos_encode(
     params: Params, pts01: jnp.ndarray, spec: DecoderSpec
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -119,7 +127,7 @@ def pos_encode(
     Reference: models/decoder.py:30-48 (``Pos_Encoding.forward``).
     """
     pe = oneblob_encode(pts01, spec.n_bins, spec.oneblob_kernel)
-    grid = hash_encode(params["table"], pts01, spec.grid)
+    grid = GRID_ENCODE(params["table"], pts01, spec.grid)
     return pe, grid
 
 

@@ -286,19 +286,18 @@ def _stateless_uniform(a: jnp.ndarray, b: jnp.ndarray, salt: int) -> jnp.ndarray
     return (bits >> np.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
 
 
-def _hash_encode_bwd(spec: HashGridSpec, res, g):
-    pts, idx, w, aux, feats = res
-    batch_shape = pts.shape[:-1]
-    n = idx.shape[0]
-    C = spec.n_corners
-    g = g.reshape(n, spec.n_levels, spec.n_features)  # (N,L,F)
+def _table_grad_contribs(spec: HashGridSpec, idx, w, g):
+    """Scatter contributions for the table gradient: (scatter_idx, contrib).
 
-    # ---- table gradient: flat scatter-add, optionally stochastic ----------
-    # NOTE on implementation style: everything below is pure elementwise math
-    # (one-hot select-sums instead of take_along_axis) — TPU gathers cost
-    # ~2.4-5 ns per ROW regardless of width, so selecting one of C corners
-    # per point via gather costs as much as re-reading the table, while a
-    # one-hot multiply-sum over the C axis fuses into the surrounding loop.
+    Exact mode: every corner gets w_c * g. Stochastic mode (grad_corners <
+    n_corners): ONE corner sampled ~ its interpolation weight carries the
+    unscaled g (unbiased). Shared by the single-chip backward and the
+    row-sharded TP backward (parallel/tp.py) so both have identical
+    semantics — including the index-hash-driven RNG, which makes the
+    sampled corner identical on every TP shard (the row then lands on
+    exactly one shard's local range).
+    """
+    C = spec.n_corners
     if spec.grad_corners >= C:
         contrib = w[..., None] * g[:, :, None, :]  # (N,L,C,F)
         scatter_idx = idx  # (N,L,C)
@@ -313,6 +312,55 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
         one_hot = (jnp.arange(C) == c_star[..., None]).astype(idx.dtype)
         contrib = g  # (N,L,F)
         scatter_idx = jnp.sum(idx * one_hot, axis=-1)  # (N,L)
+    return scatter_idx, contrib
+
+
+def _position_grad(spec: HashGridSpec, pts, feats, w, aux, g):
+    """d(encode)/d(pts) transpose: (N, 3) from gathered corner features."""
+    gdotf = jnp.sum(feats.astype(g.dtype) * g[:, :, None, :], axis=-1)  # (N,L,C)
+    if spec.interp == "tet":
+        # Out = (1-f_(1))F0 + (f_(1)-f_(2))F1 + (f_(2)-f_(3))F2 + f_(3)F3
+        # => dOut/df_k = gdotf[rank_k + 1] - gdotf[rank_k]
+        rank = aux  # (N,L,3) int32
+        i4 = jnp.arange(4)
+        sel = (
+            (rank[..., None] + 1 == i4).astype(g.dtype)
+            - (rank[..., None] == i4).astype(g.dtype)
+        )  # (N,L,3,4)
+        dfrac = jnp.sum(sel * gdotf[:, :, None, :], axis=-1)  # (N,L,3)
+        fdtype = jnp.float32
+    else:
+        # dw/dfrac_k = prod of the other two dims' factors, signed by bit k
+        frac = aux
+        c = jnp.asarray(_CORNERS, frac.dtype)  # (8,3)
+        f = c * frac[..., None, :] + (1 - c) * (1 - frac[..., None, :])
+        sign = 2.0 * c - 1.0  # (8,3)
+        others = jnp.stack(
+            [f[..., 1] * f[..., 2], f[..., 0] * f[..., 2], f[..., 0] * f[..., 1]],
+            axis=-1,
+        )  # (N,L,8,3)
+        dfrac = jnp.sum(gdotf[..., None] * sign * others, axis=2)  # (N,L,3)
+        fdtype = frac.dtype
+    resolutions = jnp.asarray(spec.level_resolutions(), fdtype)
+    d_p = jnp.sum(dfrac * resolutions[None, :, None], axis=1)  # (N,3)
+    # clip boundary: zero gradient outside [0,1]
+    p = pts.reshape(-1, 3)
+    return jnp.where((p >= 0) & (p <= 1), d_p, 0.0)
+
+
+def _hash_encode_bwd(spec: HashGridSpec, res, g):
+    pts, idx, w, aux, feats = res
+    batch_shape = pts.shape[:-1]
+    n = idx.shape[0]
+    g = g.reshape(n, spec.n_levels, spec.n_features)  # (N,L,F)
+
+    # ---- table gradient: flat scatter-add, optionally stochastic ----------
+    # NOTE on implementation style: everything below is pure elementwise math
+    # (one-hot select-sums instead of take_along_axis) — TPU gathers cost
+    # ~2.4-5 ns per ROW regardless of width, so selecting one of C corners
+    # per point via gather costs as much as re-reading the table, while a
+    # one-hot multiply-sum over the C axis fuses into the surrounding loop.
+    scatter_idx, contrib = _table_grad_contribs(spec, idx, w, g)
 
     if spec.grad_levels == 1 and spec.n_levels > 1:
         # stochastic level: keep ONE level per point, scaled by L (unbiased)
@@ -383,35 +431,7 @@ def _hash_encode_bwd(spec: HashGridSpec, res, g):
         )
 
     # ---- position gradient -------------------------------------------------
-    gdotf = jnp.sum(feats.astype(g.dtype) * g[:, :, None, :], axis=-1)  # (N,L,C)
-    if spec.interp == "tet":
-        # Out = (1-f_(1))F0 + (f_(1)-f_(2))F1 + (f_(2)-f_(3))F2 + f_(3)F3
-        # => dOut/df_k = gdotf[rank_k + 1] - gdotf[rank_k]
-        rank = aux  # (N,L,3) int32
-        i4 = jnp.arange(4)
-        sel = (
-            (rank[..., None] + 1 == i4).astype(g.dtype)
-            - (rank[..., None] == i4).astype(g.dtype)
-        )  # (N,L,3,4)
-        dfrac = jnp.sum(sel * gdotf[:, :, None, :], axis=-1)  # (N,L,3)
-        fdtype = jnp.float32
-    else:
-        # dw/dfrac_k = prod of the other two dims' factors, signed by bit k
-        frac = aux
-        c = jnp.asarray(_CORNERS, frac.dtype)  # (8,3)
-        f = c * frac[..., None, :] + (1 - c) * (1 - frac[..., None, :])
-        sign = 2.0 * c - 1.0  # (8,3)
-        others = jnp.stack(
-            [f[..., 1] * f[..., 2], f[..., 0] * f[..., 2], f[..., 0] * f[..., 1]],
-            axis=-1,
-        )  # (N,L,8,3)
-        dfrac = jnp.sum(gdotf[..., None] * sign * others, axis=2)  # (N,L,3)
-        fdtype = frac.dtype
-    resolutions = jnp.asarray(spec.level_resolutions(), fdtype)
-    d_p = jnp.sum(dfrac * resolutions[None, :, None], axis=1)  # (N,3)
-    # clip boundary: zero gradient outside [0,1]
-    p = pts.reshape(-1, 3)
-    d_p = jnp.where((p >= 0) & (p <= 1), d_p, 0.0)
+    d_p = _position_grad(spec, pts, feats, w, aux, g)
     return d_table, d_p.reshape(batch_shape + (3,))
 
 

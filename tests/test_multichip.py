@@ -200,3 +200,129 @@ def test_dryrun_survives_poisoned_tpu_env():
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     assert "dryrun_multichip OK" in r.stdout
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism: row-sharded hash table (parallel/tp.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hash_encode_tp_matches_single(rng):
+    """Row-sharded encode (forward, table grad, point grad) equals the
+    single-chip hash_encode, for exact and stochastic-corner backwards."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from dnsjax.ops.hashgrid import HashGridSpec, hash_encode, init_hash_table
+    from dnsjax.parallel.tp import hash_encode_tp
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    pts = jnp.asarray(rng.uniform(size=(500, 3)).astype(np.float32))
+    for gc in (1, 4):
+        spec = HashGridSpec(3, 2, 10, 4, 16, interp="tet", grad_corners=gc)
+        table = init_hash_table(jax.random.PRNGKey(5), spec)
+
+        def loss_tp(tbl, p):
+            e = hash_encode_tp(tbl, p, spec, "tp")
+            return jnp.sum(e**2)
+
+        def body(tbl, p):
+            l, (gt, gp) = jax.value_and_grad(loss_tp, argnums=(0, 1))(tbl, p)
+            return l, gt, gp
+
+        f = jax.jit(
+            shard_map(
+                body, mesh=mesh,
+                in_specs=(P(None, "tp", None), P()),
+                out_specs=(P(), P(None, "tp", None), P()),
+                check_vma=False,
+            )
+        )
+        l_tp, gt_tp, gp_tp = f(table, pts)
+
+        def loss_1(tbl, p):
+            return jnp.sum(hash_encode(tbl, p, spec) ** 2)
+
+        l_1, (gt_1, gp_1) = jax.value_and_grad(loss_1, argnums=(0, 1))(
+            table, pts
+        )
+        np.testing.assert_allclose(float(l_tp), float(l_1), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(gt_tp), np.asarray(gt_1), rtol=1e-4, atol=1e-7,
+            err_msg=f"table grad gc={gc}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(gp_tp), np.asarray(gp_1), rtol=1e-4, atol=1e-5,
+            err_msg=f"point grad gc={gc}",
+        )
+
+
+def test_map_fn_dp_tp_matches_dp(rng):
+    """One keystep on a (2 dp x 2 tp) mesh must reproduce the 2-dp-only
+    keystep exactly: tp shards see identical rays, the encode psum is the
+    only extra collective, and Adam updates are elementwise."""
+    import __graft_entry__ as g
+    from dnsjax.parallel.mesh import make_map_fn_dp, ray_mesh
+    from dnsjax.parallel.tp import dp_tp_mesh, make_map_fn_dp_tp
+    from dnsjax.slam.mapper import MapConfig
+    from dnsjax.slam.sampling import class_sorted_pixels
+    from dnsjax.data.synthetic import SyntheticDataset, synthetic_slam_config
+    from dnsjax.geometry.se3 import tensor_from_camera
+    from dnsjax.models.encoder import init_encoder_params, encode_images
+
+    H, W, T = 24, 32, 2
+    cfg = synthetic_slam_config(H=H, W=W, n_frames=3)
+    ds = SyntheticDataset(cfg)
+    spec, params, bound = g._tiny_setup(H, W, n_class=ds.n_class)
+    mcfg = MapConfig(
+        H=H, W=W, fx=ds.fx, fy=ds.fy, cx=ds.cx, cy=ds.cy,
+        n_pixels=64, n_samples=8, n_surface=4, smooth_pts=6,
+    )
+    frames = [ds[i] for i in range(T)]
+    colors = jnp.stack([jnp.asarray(f["color"]) for f in frames])
+    depths = jnp.stack([jnp.asarray(f["depth"]) for f in frames])
+    labels = jnp.stack([jnp.asarray(f["label"]) for f in frames])
+    est = jnp.stack([jnp.asarray(f["c2w"]) for f in frames])
+    si, off = zip(*(class_sorted_pixels(f["label"], ds.n_class) for f in frames))
+    enc = init_encoder_params(0)
+    refer_colors = jnp.broadcast_to(colors[:, None], (T, 3) + colors.shape[1:])
+    feats = encode_images(enc, refer_colors)
+    window = {
+        "colors": colors, "depths": depths, "labels": labels,
+        "sorted_idx": jnp.stack([jnp.asarray(x) for x in si]),
+        "offsets": jnp.stack([jnp.asarray(x) for x in off]),
+        "refer_feats": feats,
+        "refer_fixed_c2w": jnp.broadcast_to(est[:, None], (T, 3, 4, 4)),
+        "refer_src": jnp.full((T, 3), -1, jnp.int32),
+        "pose_train": jnp.asarray([0.0, 1.0]),
+        "bound": bound,
+        "lt_gate_iter": jnp.asarray(-1, jnp.int32),
+    }
+    t7 = tensor_from_camera(est)
+    key = jax.random.PRNGKey(0)
+
+    map_dp = make_map_fn_dp(spec, mcfg, n_target=T, n_iters=2,
+                            mesh=ray_mesh(2))
+    p_dp, q_dp, T_dp, aux_dp = map_dp(params, t7[:, :4], t7[:, 4:], window, key)
+
+    map_tp = make_map_fn_dp_tp(
+        spec, mcfg, n_target=T, n_iters=2, mesh=dp_tp_mesh(2, 2),
+        param_keys=tuple(params.keys()),
+    )
+    p_tp, q_tp, T_tp, aux_tp = map_tp(params, t7[:, :4], t7[:, 4:], window, key)
+
+    np.testing.assert_allclose(
+        np.asarray(aux_tp["losses"]), np.asarray(aux_dp["losses"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(q_tp), np.asarray(q_dp), rtol=1e-4, atol=1e-6
+    )
+    for k in p_dp:
+        got = jax.tree_util.tree_map(np.asarray, p_tp[k])
+        want = jax.tree_util.tree_map(np.asarray, p_dp[k])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=2e-4, atol=1e-6, err_msg=k
+            ),
+            got, want,
+        )
