@@ -10,6 +10,7 @@ are NOT a valid alternative).
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/probe_gather.py
 """
 
+import sys
 import time
 
 import jax
@@ -17,7 +18,9 @@ import jax.numpy as jnp
 
 from dnsjax.ops.hashgrid import HashGridSpec, hash_encode, init_hash_table
 
-N_PTS = 93624
+# default: the mapping shape; pass e.g. 23500 for the tracking shape
+# (500 rays x 47 samples)
+N_PTS = int(sys.argv[1]) if len(sys.argv) > 1 else 93624
 ITERS = 20
 TUNNEL_MS = 27.0
 
