@@ -112,6 +112,22 @@ def main():
         timed(f"raw dense_matmul_gather  [want_feats={wf}]",
               scan_sink(raw, keys), table)
 
+    # real-shape equivalence: both backends bf16-quantize rows and
+    # accumulate f32; only corner-summation order may differ (ulp-level)
+    p = jax.random.uniform(jax.random.PRNGKey(3), (N_PTS, 3))
+    outs = {}
+    for gather in ("xla", "pallas"):
+        spec = HashGridSpec(**BASE, gather=gather)
+
+        @jax.jit
+        def enc(t, p, spec=spec):
+            return hash_encode(t, p, spec)
+
+        outs[gather] = jax.device_get(enc(table, p))
+    d = float(jnp.abs(jnp.asarray(outs["xla"]) - outs["pallas"]).max())
+    print(f"fwd equivalence max|xla - pallas| = {d:.3e} "
+          f"({'OK' if d < 1e-5 else 'MISMATCH'})", flush=True)
+
 
 if __name__ == "__main__":
     main()
