@@ -227,6 +227,30 @@ def main():
 
         tracking_fps_patience = 1.0 / _min3(run_track_p)
 
+    # second-order tracking (tracker.py method="lm"): lm_iters damped
+    # Gauss-Newton steps replace the 50-step Adam schedule — reported
+    # alongside so the tracking-FPS lever is visible; adoption is gated by
+    # the "lm-track" ab_quality variant
+    import dataclasses as _dc
+
+    tcfg_lm = _dc.replace(
+        tcfg, method="lm",
+        lm_iters=int(cfg.get("tracking", {}).get("lm_iters", 10)),
+    )
+    track_fn_lm = make_track_fn(spec, tcfg_lm)
+    o = track_fn_lm(params, tfeats, w2c0, colors[0], depths[0], labels[0],
+                    quad0, T0, bound, jax.random.PRNGKey(0))
+    _ = float(o[2]["best_loss"])
+
+    def run_track_lm():
+        o = track_fn_lm(params, tfeats, w2c0, colors[0], depths[0],
+                        labels[0], quad0, T0, bound,
+                        jax.random.PRNGKey(ks[0]))
+        ks[0] += 1
+        _ = float(o[2]["best_loss"])
+
+    tracking_fps_lm = 1.0 / _min3(run_track_lm)
+
     # ---- mesh query ----------------------------------------------------------
     from dnsjax.mesh.mesher import Mesher
 
@@ -287,6 +311,7 @@ def main():
                     if tracking_fps_patience
                     else {}
                 ),
+                "tracking_fps_lm": round(tracking_fps_lm, 2),
                 "mesh_query_mpts_per_sec": round(mesh_mpts, 2),
                 "amortized_fps": round(amortized_fps, 2),
             }

@@ -450,6 +450,22 @@ def _hash_encode_fwd_vjp(table, pts, spec: HashGridSpec):
 hash_encode.defvjp(_hash_encode_fwd_vjp, _hash_encode_bwd)
 
 
+def hash_encode_fwd_mode(
+    table: jnp.ndarray, pts: jnp.ndarray, spec: HashGridSpec
+) -> jnp.ndarray:
+    """JVP-differentiable encode for forward-mode consumers (the LM
+    tracker's pose Jacobian, slam/tracker.py): plain XLA autodiff instead
+    of the custom_vjp (which has no jvp rule), forcing the XLA gather (the
+    Pallas kernel likewise has no jvp rule). Primal values are identical
+    to ``hash_encode`` with gather="xla"."""
+    if spec.gather != "xla":
+        import dataclasses
+
+        spec = dataclasses.replace(spec, gather="xla")
+    out, _ = _hash_encode_fwd(table, pts, spec, want_feats=False)
+    return out
+
+
 def hash_encode_ref(table: np.ndarray, pts: np.ndarray, spec: HashGridSpec) -> np.ndarray:
     """Pure-numpy oracle of hash_encode (for tests; both interp modes)."""
     p = np.clip(pts.reshape(-1, 3), 0.0, 1.0)

@@ -68,6 +68,20 @@ class TrackConfig:
     # all n_iters). The scan still compiles for n_iters; converged frames
     # skip the remaining iterations' compute via lax.while_loop.
     patience: int = 0
+    # Pose optimizer. "adam": the reference's first-order schedule
+    # (n_iters steps, per-iteration ray resampling, tracking.py:313-340).
+    # "lm": Levenberg-Marquardt on the photometric + depth residuals — a
+    # second-order TPU-first alternative: ONE fixed ray batch per frame,
+    # lm_iters damped Gauss-Newton steps, each costing one jax.linearize
+    # (primal + 7 tangent passes, batched in-program) plus one trial
+    # forward. The 7x7 normal equations make pose curvature explicit, so
+    # ~8-12 iterations replace 50 first-order ones. Quality must be A/B
+    # gated (scripts/ab_quality.py) before becoming a profile default.
+    method: str = "adam"
+    lm_iters: int = 10
+    lm_lambda0: float = 1e-3   # initial LM damping (scaled by diag(JtJ))
+    lm_up: float = 5.0         # damping multiplier on a rejected step
+    lm_down: float = 0.5       # damping multiplier on an accepted step
     lambda_p: float = 5.0
     lambda_d: float = 5.0
     lambda_l: float = 0.1
@@ -113,10 +127,14 @@ def make_track_fn(
     min-loss-candidate bookkeeping — equivalent to one n_devices*n_pixels
     ray batch per iteration (same design as parallel.mesh.make_map_fn_dp).
     """
+    if cfg.method not in ("adam", "lm"):
+        raise ValueError(f"tracking.method={cfg.method!r}: expected adam|lm")
     opt = make_pose_optimizer(cfg)
     S = cfg.n_samples + cfg.n_surface
 
-    def loss_fn(qt, params, enc_feats, refer_w2c, colorf, depthf, labelf, bound, key):
+    def forward(qt, params, enc_feats, refer_w2c, colorf, depthf, labelf, bound, key):
+        """Shared batch assembly + coarse render at pose ``qt``. Returns
+        (out, gt_c, gt_d, gt_l, mask)."""
         quad, T = qt
         k_pix, k_z = jax.random.split(key)
         R = quat_to_rotation(quad)
@@ -157,13 +175,63 @@ def make_track_fn(
         code = code * trunc[..., None]
 
         out = render_coarse(params, spec, pts, z, rays_d, code, bound, compute_dtype)
-
         mask = (gt_d > 0.01) & inside
+        return out, gt_c, gt_d, gt_l, mask
+
+    def losses_from(out, gt_c, gt_d, gt_l, mask):
         p = photometric_loss(gt_c, out.color, mask)
         d = depth_var_loss(gt_d, out.depth, out.depth_var, mask)
         l = semantic_ce_loss(gt_l, out.logits, mask)
         loss = cfg.lambda_p * p + cfg.lambda_d * d + cfg.lambda_l * l
         return loss, (p, d)
+
+    def loss_fn(qt, params, enc_feats, refer_w2c, colorf, depthf, labelf, bound, key):
+        out, gt_c, gt_d, gt_l, mask = forward(
+            qt, params, enc_feats, refer_w2c, colorf, depthf, labelf, bound, key
+        )
+        return losses_from(out, gt_c, gt_d, gt_l, mask)
+
+    def resid_fn(qt, params, enc_feats, refer_w2c, colorf, depthf, labelf, bound, key):
+        """Weighted residual vector for LM: ||r||^2 == lambda_p * p + an
+        IRLS quadratic surrogate of the depth-variance L1 term. The CE
+        semantic term (lambda_l = 0.1) is excluded from the normal
+        equations but kept in the aux scalar loss used for step
+        accept/reject and the min-loss candidate.
+
+        Traced under jax.linearize (forward mode), so the grid encode is
+        routed through the JVP-differentiable plain-autodiff variant via
+        the decoder's trace-time GRID_ENCODE hook (hash_encode is a
+        custom_vjp, which forward-mode cannot pierce; same hook pattern as
+        parallel/tp.py)."""
+        from dnsjax.models import decoder as _dec
+        from dnsjax.ops.hashgrid import hash_encode_fwd_mode
+
+        prev = _dec.GRID_ENCODE
+        _dec.GRID_ENCODE = hash_encode_fwd_mode
+        try:
+            out, gt_c, gt_d, gt_l, mask = forward(
+                qt, params, enc_feats, refer_w2c, colorf, depthf, labelf,
+                bound, key
+            )
+        finally:
+            _dec.GRID_ENCODE = prev
+        m = mask.astype(jnp.float32)
+        n_valid = jnp.sum(m) + 1e-8
+
+        e_c = (out.color - gt_c) * m[:, None]              # (N, 3)
+        r_p = jnp.sqrt(cfg.lambda_p / (3.0 * n_valid)) * e_c
+
+        e_d = (out.depth - gt_d) * m                       # (N,)
+        s = jnp.sqrt(out.depth_var + 1e-10)
+        # IRLS weight for |e|/s: w = 1/(s*(|e|+delta)) so w*e^2 ~ |e|/s;
+        # weights are frozen per linearization (stop_gradient)
+        w_d = jax.lax.stop_gradient(
+            cfg.lambda_d * m / (s * (jnp.abs(e_d) + 1e-3) * n_valid)
+        )
+        r_d = jnp.sqrt(w_d) * e_d
+
+        r = jnp.concatenate([r_p.reshape(-1), r_d])
+        return r, losses_from(out, gt_c, gt_d, gt_l, mask)
 
     def track_body(params, enc_feats, refer_w2c, color, depth, label, quad0, T0, bound, key):
         colorf = color.reshape(-1, 3)
@@ -234,7 +302,13 @@ def make_track_fn(
             n_done = it
 
         best_quad, best_T = best_qt
-        metrics = {
+        return best_quad, best_T, _metrics(
+            best_qt, best_loss, best_pd, losses, n_done
+        )
+
+    def _metrics(best_qt, best_loss, best_pd, losses, n_done):
+        best_quad, best_T = best_qt
+        return {
             "best_loss": best_loss,
             "p_loss": best_pd[0],
             "d_loss": best_pd[1],
@@ -254,16 +328,122 @@ def make_track_fn(
                 ]
             ),
         }
-        return best_quad, best_T, metrics
+
+    def track_body_lm(params, enc_feats, refer_w2c, color, depth, label,
+                      quad0, T0, bound, key):
+        """Levenberg-Marquardt pose solve (cfg.method == "lm").
+
+        Each iteration resamples its ray batch (like the Adam path), then:
+        linearize the weighted residual vector at the current pose (primal
+        + 7 batched tangent passes), form the 7x7 normal equations, damp
+        Marquardt-style (lambda * diag), solve, and accept/reject the trial
+        pose by the full scalar loss (which keeps the semantic CE term the
+        normal equations exclude) evaluated on the SAME batch — within an
+        iteration the comparison is deterministic, across iterations the
+        batches average out sampling noise. Min-loss-candidate semantics
+        match the Adam path."""
+        colorf = color.reshape(-1, 3)
+        depthf = depth.reshape(-1)
+        labelf = label.reshape(-1)
+        if mesh is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+        args = (params, enc_feats, refer_w2c, colorf, depthf, labelf, bound)
+
+        eye = jnp.eye(7, dtype=jnp.float32)
+        basis = (eye[:, :4], eye[:, 4:])  # tangents for (quad, T)
+
+        def pmean_all(tree):
+            if mesh is None:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.pmean(a, "dp"), tree
+            )
+
+        def eval_loss(qt, k):
+            loss, pd = loss_fn(qt, *args, k)
+            return pmean_all((loss, pd))
+
+        def lm_iter(carry, k):
+            qt, lam, best_loss, best_qt, best_pd = carry
+            r, f_jvp, (loss, pd) = jax.linearize(
+                lambda q: resid_fn(q, *args, k), qt, has_aux=True
+            )
+            J = jax.vmap(f_jvp)(basis)            # (7, m)
+            JTJ, JTr, loss, pd = pmean_all(
+                (J @ J.T, J @ r, loss, pd)
+            )
+
+            # min-loss candidate at the pose the loss was EVALUATED at
+            better = loss < best_loss
+            best_loss = jnp.where(better, loss, best_loss)
+            best_qt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(better, new, old), qt, best_qt
+            )
+            best_pd = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(better, new, old), pd, best_pd
+            )
+
+            A = (
+                JTJ
+                + lam * jnp.diag(jnp.diagonal(JTJ))
+                + 1e-8 * jnp.eye(7, dtype=JTJ.dtype)
+            )
+            delta = -jnp.linalg.solve(A, JTr)
+            # renormalize the quat: quat_to_rotation is scale-invariant, so
+            # the raw quat has a gauge (null) direction the solve can drift
+            # along; projecting back to the unit sphere keeps the SAME pose
+            # while keeping the linearization point (and the raw-parameter
+            # trajectory) well-conditioned
+            quad_new = qt[0] + delta[:4]
+            quad_new = quad_new / jnp.linalg.norm(quad_new)
+            qt_new = (quad_new, qt[1] + delta[4:])
+            new_loss, _ = eval_loss(qt_new, k)
+
+            accept = new_loss < loss
+            qt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old), qt_new, qt
+            )
+            lam = jnp.clip(
+                jnp.where(accept, lam * cfg.lm_down, lam * cfg.lm_up),
+                1e-7, 1e7,
+            )
+            return (qt, lam, best_loss, best_qt, best_pd), loss
+
+        qt0 = (quad0, T0)
+        keys = jax.random.split(key, cfg.lm_iters + 1)
+        init = (qt0, jnp.asarray(cfg.lm_lambda0, jnp.float32),
+                jnp.inf, qt0, (jnp.inf, jnp.inf))
+        (qt, _, best_loss, best_qt, best_pd), losses = jax.lax.scan(
+            lm_iter, init, keys[:-1]
+        )
+
+        # the final accepted pose was never loss-evaluated inside the scan;
+        # give it a shot at the candidate slot
+        loss_f, pd_f = eval_loss(qt, keys[-1])
+        better = loss_f < best_loss
+        best_loss = jnp.where(better, loss_f, best_loss)
+        best_qt = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(better, new, old), qt, best_qt
+        )
+        best_pd = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(better, new, old), pd_f, best_pd
+        )
+
+        best_quad, best_T = best_qt
+        return best_quad, best_T, _metrics(
+            best_qt, best_loss, best_pd, losses, jnp.asarray(cfg.lm_iters)
+        )
+
+    track_impl = track_body_lm if cfg.method == "lm" else track_body
 
     if mesh is None:
-        return jax.jit(track_body)
+        return jax.jit(track_impl)
 
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     sharded = shard_map(
-        track_body,
+        track_impl,
         mesh=mesh,
         in_specs=(P(),) * 10,
         out_specs=(P(), P(), P()),

@@ -131,6 +131,18 @@ VARIANTS = {
         pos=dict(kernel="quartic"),
         training=dict(smooth_every=4),
     ),
+    # second-order tracking: Levenberg-Marquardt pose solve (slam/tracker.py
+    # method="lm": 10 damped Gauss-Newton iterations, each one linearize +
+    # one trial forward ~ 6 forward-equivalents, vs 50 Adam iterations) on
+    # the adopted r3 defaults. Gate on ATE: the pose path is the ONLY thing
+    # this changes.
+    "lm-track": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4),
+        tracking=dict(method="lm", lm_iters=10),
+    ),
 }
 
 
@@ -154,6 +166,7 @@ def run_variant(name, overrides, frames, small, eval_every, seed=0):
     cfg["tpu"].update(overrides.get("tpu", {}))
     cfg["training"].update(overrides.get("training", {}))
     cfg["mapping"].update(overrides.get("mapping", {}))
+    cfg["tracking"].update(overrides.get("tracking", {}))
     cfg["seed"] = seed
     cfg["verbose"] = False
     if small:

@@ -32,4 +32,7 @@ run profile_map  900 python -u scripts/profile_map.py
 # 4. the headline bench (also exercises tracking + mesh + amortized FPS)
 run bench        1800 python -u bench.py
 
+# 5. quality gate for the LM tracker (full-shape synthetic scene; slowest)
+run ab_lm        1800 python -u scripts/ab_quality.py --variants lm-track
+
 echo "=== done ($(date +%T)) — logs in $OUT ===" | tee -a "$OUT/summary.txt"

@@ -135,6 +135,20 @@ def test_track_fn_dp_runs_and_converges():
     # replicated outputs: all devices agree (single logical value)
     assert quad.shape == (4,) and T.shape == (3,)
 
+    # LM variant: pmean'd normal equations over the same ray shard
+    import dataclasses
+
+    tcfg_lm = dataclasses.replace(tcfg, method="lm", lm_iters=3)
+    track_lm = make_track_fn(spec, tcfg_lm, jnp.float32, mesh=mesh)
+    quad2, T2, m2 = track_lm(
+        params, feats, invert_se3(c2w), jnp.asarray(f["color"]),
+        jnp.asarray(f["depth"]), jnp.asarray(f["label"]),
+        t7[:4], t7[4:], bound, jax.random.PRNGKey(3),
+    )
+    assert np.isfinite(np.asarray(quad2)).all()
+    assert np.isfinite(float(m2["best_loss"]))
+    assert quad2.shape == (4,) and T2.shape == (3,)
+
 
 def test_full_renderer_dp_matches_single():
     """Sharded full-frame render equals the single-device render."""

@@ -160,6 +160,43 @@ def test_tracking_recovers_perturbed_pose(slam_gt_camera):
     assert err_after < err_before * 0.85, (err_before, err_after)
 
 
+def test_tracking_lm_recovers_perturbed_pose(slam_gt_camera):
+    """The Levenberg-Marquardt tracker (tracking.method: lm) must recover a
+    perturbed pose in ~an order of magnitude fewer iterations than Adam."""
+    import dataclasses
+
+    slam = slam_gt_camera
+    ds = slam.dataset
+    f = slam._frame_to_device(ds[4])
+    gt = np.asarray(f["c2w"])
+
+    t7 = np.asarray(tensor_from_camera(jnp.asarray(gt)))
+    pert = t7.copy()
+    pert[4:] += np.array([0.05, -0.04, 0.03], np.float32)
+    pert[1:4] += np.array([0.02, -0.015, 0.01], np.float32)
+
+    from dnsjax.slam.tracker import make_track_fn
+
+    tcfg = dataclasses.replace(slam.track_cfg, method="lm", lm_iters=8)
+    track = make_track_fn(slam.spec, tcfg, slam.compute_dtype)
+    feats = slam._encode(
+        slam.enc_params, jnp.stack([jnp.asarray(ds[3]["color"]), f["color"]], 0)
+    )
+    refer_w2c = jnp.asarray(np.linalg.inv(ds[3]["c2w"]).astype(np.float32))
+    quad, T, metrics = track(
+        slam.params, feats, refer_w2c, f["color"], f["depth"], f["label"],
+        jnp.asarray(pert[:4]), jnp.asarray(pert[4:]),
+        slam.bound_j, jax.random.PRNGKey(5),
+    )
+    got = np.concatenate([np.asarray(quad), np.asarray(T)])
+    err_before = np.abs(t7 - pert).mean()
+    err_after = np.abs(t7 - got).mean()
+    assert err_after < err_before * 0.85, (err_before, err_after)
+    assert int(metrics["n_iters_run"]) == 8
+    pk = np.asarray(metrics["packed"])
+    assert pk.shape == (10,) and np.isfinite(pk).all()
+
+
 def test_driver_full_tracking_small():
     """Full tracking+mapping run; poses must stay close to GT."""
     cfg = synthetic_slam_config(n_frames=8, n_iters_track=20, n_iters_map=30)
