@@ -16,8 +16,41 @@ with an explicit PRNG key and fully static shapes:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# z-ordering backend: "sort" = jnp.sort over the 47-wide sample axis (a
+# bitonic network with lane shuffles on TPU); "merge" = exploit that BOTH
+# sample families are already sorted per ray (the shared t_surf vector is
+# pre-sorted once for the whole batch; the stratified linspace is monotone)
+# and merge them with comparison-count ranks + one-hot placement — pure
+# elementwise/matmul work, no lane shuffles. Output is BIT-IDENTICAL to the
+# sort (equal multiset, ascending), so flipping this needs only a timing
+# measurement, not a quality gate (scripts/probe_buckets.py times both).
+Z_BACKEND = os.environ.get("DNSJAX_Z_BACKEND", "sort")
+
+
+def _merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Merge per-row ascending-sorted a (N, A) and b (N, B) -> (N, A+B).
+
+    Rank of a[i] = i + #{j: b[j] < a[i]}; rank of b[j] = j + #{i: a[i] <=
+    b[j]} — the strict/non-strict split makes ranks a permutation even with
+    ties, and places equal values in (a, b) order (any order of equal values
+    yields the same array). Placement is a one-hot multiply-sum, which XLA
+    maps to VPU/MXU work instead of a sorting network."""
+    A, B = a.shape[-1], b.shape[-1]
+    ra = jnp.arange(A) + jnp.sum(
+        (b[:, None, :] < a[:, :, None]), axis=-1
+    )  # (N, A)
+    rb = jnp.arange(B) + jnp.sum(
+        (a[:, None, :] <= b[:, :, None]), axis=-1
+    )  # (N, B)
+    k = jnp.arange(A + B)
+    out = jnp.sum(a[:, :, None] * (ra[:, :, None] == k), axis=1)
+    out = out + jnp.sum(b[:, :, None] * (rb[:, :, None] == k), axis=1)
+    return out
 
 
 def sample_along_rays(
@@ -68,8 +101,23 @@ def sample_along_rays(
         far = jnp.clip(far_bb.reshape(-1), 0.0, 1.2 * max_depth)
         t = jnp.linspace(0.0, 1.0, n_samples)
         z_strat = near[:, None] * (1.0 - t[None, :]) + far[:, None] * t[None, :]
-        z = jnp.concatenate([z_strat, z_surface], axis=-1)
     else:
-        z = z_surface
+        z_strat = jnp.zeros((gt_depth.shape[0], 0), gt_depth.dtype)
 
+    if Z_BACKEND == "merge" and n_samples > 0 and n_surface > 0:
+        # per-family ascending order comes cheap: both surface vectors are
+        # SHARED across the batch (sort 15 elements once; the valid-depth
+        # scaling d*(0.95+0.1t) is monotone for d>0, and d==0 rows use the
+        # zero-depth vector), and the stratified linspace is monotone with
+        # the direction given by sign(far - near)
+        t_sorted = jnp.sort(t_surf)
+        zv = gt_depth[:, None] * (0.95 + 0.1 * t_sorted[None, :])
+        zz = jnp.sort(z_surf_zero)
+        surf_sorted = jnp.where((gt_depth > 0)[:, None], zv, zz[None, :])
+        strat_sorted = jnp.where(
+            (far >= near)[:, None], z_strat, z_strat[:, ::-1]
+        )
+        return _merge_sorted(strat_sorted, surf_sorted).astype(jnp.float32)
+
+    z = jnp.concatenate([z_strat, z_surface], axis=-1)
     return jnp.sort(z, axis=-1).astype(jnp.float32)

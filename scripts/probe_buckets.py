@@ -262,6 +262,30 @@ def main():
     timed("B2 ray gen + z sampling + pts (fwd)",
           scan_sink(rays_z_pts)(pix0, gt_d0, c2w))
 
+    # z ordering backends (values bit-identical; see render/sampling.py):
+    # the 47-wide per-ray sort is a bitonic network with lane shuffles on
+    # TPU — the merge replaces it with comparison-count + one-hot placement
+    from dnsjax.render import sampling as _S
+
+    far0 = jnp.asarray(
+        rng.uniform(3.0, 8.0, size=(T, n_ray)).astype(np.float32)
+    )
+    for backend in ("sort", "merge"):
+        _S.Z_BACKEND = backend
+
+        def z_only(k, gtd, far):
+            def one(kk, gtd_t, far_t):
+                return _S.sample_along_rays(
+                    kk, gtd_t + k[0] * 0.0, N_SAMPLES, N_SURFACE, far_t
+                )
+
+            ks = jax.random.split(k, T)
+            return jax.vmap(one)(ks, gtd, far)
+
+        timed(f"B2z z sampling alone [{backend}]",
+              scan_sink(z_only)(gt_d0, far0))
+    _S.Z_BACKEND = "sort"
+
     # losses at the post-render shapes, fwd + grad wrt rendered tensors
     N = T * n_ray
     h1 = spec.hidden_dim + 1

@@ -20,6 +20,41 @@ def test_sample_along_rays_shapes_and_ordering():
     assert np.all(zn[np.asarray(depth) > 0] > 0)
 
 
+def test_z_merge_backend_bit_identical():
+    """The sort-free merge backend (render/sampling.Z_BACKEND="merge") must
+    produce BIT-identical z arrays to jnp.sort — including zero-depth rays
+    (shared zero-depth vector), far < near rays (descending linspace), and
+    duplicate values."""
+    from dnsjax.render import sampling as S
+
+    rng = np.random.default_rng(0)
+    cases = []
+    for i in range(4):
+        n = 64
+        depth = rng.uniform(0, 5, n).astype(np.float32)
+        depth[rng.uniform(size=n) < 0.3] = 0.0  # zero-depth rays
+        far = rng.uniform(0.001, 8, n).astype(np.float32)  # some far < near
+        cases.append((jnp.asarray(depth), jnp.asarray(far)))
+    # all-zero-depth batch: max_depth == 0, zero-vector descending in t
+    cases.append((jnp.zeros(16), jnp.full((16,), 2.0)))
+
+    prev = S.Z_BACKEND
+    try:
+        for ci, (depth, far) in enumerate(cases):
+            key = jax.random.PRNGKey(ci)
+            S.Z_BACKEND = "sort"
+            z_sort = np.asarray(
+                S.sample_along_rays(key, depth, 32, 15, far)
+            )
+            S.Z_BACKEND = "merge"
+            z_merge = np.asarray(
+                S.sample_along_rays(key, depth, 32, 15, far)
+            )
+            np.testing.assert_array_equal(z_sort, z_merge)
+    finally:
+        S.Z_BACKEND = prev
+
+
 def test_surface_samples_bracket_depth():
     key = jax.random.PRNGKey(1)
     depth = jnp.full((8,), 2.0)
