@@ -259,6 +259,10 @@ def main():
     for name in args.variants.split(","):
       for seed in seeds:
         key = name if seed == 0 else f"{name}@s{seed}"
+        if args.small:
+            # smoke rows must be visibly distinct: a --small sweep merges
+            # into the same ab_quality.json as the full-shape gate runs
+            key += "@small"
         print(f"== {key} ==", flush=True)
         cmd = [
             sys.executable, os.path.abspath(__file__), "--one", name,
@@ -290,8 +294,10 @@ def main():
     lines = [
         "# A/B quality gate — TPU-profile deviations vs reference-parity",
         "",
-        f"Scene: configs/synthetic/textured.yaml ({'170x300 smoke' if args.small else '680x1200'}, "
-        f"{args.frames} frames, 30 classes, full tracking+mapping+BA).",
+        "Scene: configs/synthetic/textured.yaml (680x1200, 40 frames, "
+        "30 classes, full tracking+mapping+BA).",
+        "Rows tagged `@small` ran the 170x300/8-frame CPU smoke shape —",
+        "preliminary signal only, not gate-authoritative.",
         "Gate: every metric within 5% of `parity` (BASELINE.json criterion);",
         "higher-is-better for psnr/miou, lower-is-better for ate/depth_l1.",
         "",
