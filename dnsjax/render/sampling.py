@@ -29,7 +29,8 @@ import jax.numpy as jnp
 # elementwise/matmul work, no lane shuffles. Output is BIT-IDENTICAL to the
 # sort (equal multiset, ascending), so flipping this needs only a timing
 # measurement, not a quality gate (scripts/probe_buckets.py times both).
-Z_BACKEND = os.environ.get("DNSJAX_Z_BACKEND", "sort")
+Z_BACKEND_DEFAULT = os.environ.get("DNSJAX_Z_BACKEND", "sort")
+Z_BACKEND = Z_BACKEND_DEFAULT
 
 
 def _merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -100,7 +101,12 @@ def sample_along_rays(
         near = 1e-3 * gt_depth
         far = jnp.clip(far_bb.reshape(-1), 0.0, 1.2 * max_depth)
         t = jnp.linspace(0.0, 1.0, n_samples)
-        z_strat = near[:, None] * (1.0 - t[None, :]) + far[:, None] * t[None, :]
+        # single-product lerp, NOT near*(1-t) + far*t: IEEE rounding is
+        # monotone in one operand, so near + t*(far-near) is float-monotone
+        # in t — the two-product form is not when far is within a few ulps
+        # of near, which would violate the merge backend's sorted-input
+        # precondition (caught by an adversarial review repro)
+        z_strat = near[:, None] + t[None, :] * (far - near)[:, None]
     else:
         z_strat = jnp.zeros((gt_depth.shape[0], 0), gt_depth.dtype)
 
@@ -108,8 +114,8 @@ def sample_along_rays(
         # per-family ascending order comes cheap: both surface vectors are
         # SHARED across the batch (sort 15 elements once; the valid-depth
         # scaling d*(0.95+0.1t) is monotone for d>0, and d==0 rows use the
-        # zero-depth vector), and the stratified linspace is monotone with
-        # the direction given by sign(far - near)
+        # zero-depth vector), and the stratified lerp above is monotone
+        # with the direction given by sign(far - near)
         t_sorted = jnp.sort(t_surf)
         zv = gt_depth[:, None] * (0.95 + 0.1 * t_sorted[None, :])
         zz = jnp.sort(z_surf_zero)

@@ -88,12 +88,16 @@ class DNSSLAM:
         )
         self.fix_refer_bug = bool(tpu_cfg.get("fix_refer_frame_bug", True))
         feature_taps = int(tpu_cfg.get("feature_taps", 4))
-        if "z_backend" in tpu_cfg:
-            # "sort" | "merge" — bit-identical z values either way
-            # (render/sampling.py); a pure speed knob
-            from dnsjax.render import sampling as _sampling
+        # "sort" | "merge" — bit-identical z values either way
+        # (render/sampling.py); a pure speed knob. ALWAYS assigned (with the
+        # module's import-time default) so one DNSSLAM's setting cannot leak
+        # into a later instance in the same process.
+        from dnsjax.render import sampling as _sampling
 
-            _sampling.Z_BACKEND = str(tpu_cfg["z_backend"])
+        zb = str(tpu_cfg.get("z_backend", _sampling.Z_BACKEND_DEFAULT))
+        if zb not in ("sort", "merge"):
+            raise ValueError(f"tpu.z_backend={zb!r}: expected sort|merge")
+        _sampling.Z_BACKEND = zb
         # data-parallel ray sharding over the first N devices (tpu.data_parallel;
         # each device samples its own cfg.n_pixels rays, grads pmean over ICI)
         self.dp_devices = min(

@@ -360,7 +360,13 @@ def make_track_fn(
             )
 
         def eval_loss(qt, k):
-            loss, pd = loss_fn(qt, *args, k)
+            # evaluate through resid_fn's aux, NOT loss_fn: resid_fn routes
+            # the encode through the forward-mode (xla-gather) variant, so
+            # accept/reject compares losses from ONE encode backend even
+            # when spec.gather == "pallas" (the two backends differ at the
+            # 1e-5 level — enough to flip near-tie decisions). XLA DCEs the
+            # unused residual outputs.
+            _, (loss, pd) = resid_fn(qt, *args, k)
             return pmean_all((loss, pd))
 
         def lm_iter(carry, k):

@@ -305,7 +305,9 @@ def main():
         "|---|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
-        if ref is None or name == "parity":
+        if ref is None or name == "parity" or name.endswith("@small"):
+            # @small rows ran a different shape than the parity reference —
+            # they cannot legitimately pass or fail the gate
             ok = "—"
         else:
             checks = [
@@ -319,10 +321,14 @@ def main():
             f"| {name} | {r['ate_rmse_m']:.4f} | {r['psnr_db']:.2f} | "
             f"{r['depth_l1_cm']:.2f} | {r['miou']:.3f} | {r['wall_s']} | {ok} |"
         )
-    # multi-seed spreads: group name / name@sN rows (min..max over seeds)
+    # multi-seed spreads: group name / name@sN rows (min..max over seeds).
+    # Strip ONLY seed tags (@s<digits>) — "@small" must stay distinct, or a
+    # smoke-shape row would average into the full-shape spread.
+    import re
+
     groups = {}
     for key, r in results.items():
-        base = key.split("@s")[0]
+        base = re.sub(r"@s\d+(?=@|$)", "", key)
         groups.setdefault(base, []).append(r)
     multi = {b: rs for b, rs in groups.items() if len(rs) > 1}
     if multi:

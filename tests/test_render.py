@@ -37,6 +37,18 @@ def test_z_merge_backend_bit_identical():
         cases.append((jnp.asarray(depth), jnp.asarray(far)))
     # all-zero-depth batch: max_depth == 0, zero-vector descending in t
     cases.append((jnp.zeros(16), jnp.full((16,), 2.0)))
+    # adversarial: far within a few ulps of near (= 1e-3 * depth) — the
+    # regime where a two-product lerp is NOT float-monotone (review repro);
+    # the single-product form must stay merge-safe
+    d = rng.uniform(0.5, 5, 64).astype(np.float32)
+    near = (1e-3 * d).astype(np.float32)
+    ulps = rng.integers(-64, 65, 64).astype(np.int32)
+    far_ulp = np.frombuffer(
+        (np.frombuffer(near.tobytes(), np.int32) + ulps).tobytes(),
+        np.float32,
+    ).copy()
+    far_ulp = np.abs(far_ulp)
+    cases.append((jnp.asarray(d), jnp.asarray(far_ulp)))
 
     prev = S.Z_BACKEND
     try:
