@@ -160,6 +160,25 @@ def main(interp="trilinear", n_levels=4, level_dim=8, oneblob_kernel="gaussian")
     print(f"{'FULL track frame (50 iters)':44s} {frame_s * 1e3:8.1f} ms "
           f"= {1.0 / frame_s:.2f} FPS")
 
+    # FULL LM frame (tracking.method: lm, 10 damped GN iterations)
+    import dataclasses
+
+    track_lm = make_track_fn(spec, dataclasses.replace(tcfg, method="lm",
+                                                       lm_iters=10))
+    o = track_lm(params, efeats, jnp.eye(4), color, depth, label,
+                 t7[:4], t7[4:], bound, jax.random.PRNGKey(0))
+    _ = float(o[2]["best_loss"])
+    reps = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        o = track_lm(params, efeats, jnp.eye(4), color, depth, label,
+                     t7[:4], t7[4:], bound, jax.random.PRNGKey(i + 1))
+        _ = float(o[2]["best_loss"])
+        reps.append(time.perf_counter() - t0)
+    frame_s = min(reps) - TUNNEL_MS / 1e3
+    print(f"{'FULL LM track frame (10 iters)':44s} {frame_s * 1e3:8.1f} ms "
+          f"= {1.0 / frame_s:.2f} FPS")
+
 
 if __name__ == "__main__":
     import argparse

@@ -28,6 +28,7 @@ run buckets      1200 python -u scripts/probe_buckets.py
 
 # 3. full mapping profile with current adoptions (pallas_sr scatter)
 run profile_map  900 python -u scripts/profile_map.py
+run profile_track 900 python -u scripts/profile_track.py --interp tet --oneblob quartic
 
 # 4. the headline bench (also exercises tracking + mesh + amortized FPS)
 run bench        1800 python -u bench.py
