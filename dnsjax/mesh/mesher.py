@@ -96,6 +96,15 @@ class Mesher:
         self.fuse_rows = bool(
             cfg.get("tpu", {}).get("mesh_fused_rows", self.feature_taps == 1)
         )
+        # view skip: per chunk, skip keyframes whose frustum provably sees
+        # no chunk point (separating-half-space test on the chunk's AABB
+        # corners — conservative, so the skip is EXACT: every per-view
+        # contribution below is gated by the same ``seen`` predicate the
+        # test bounds). Chunks are Morton-ordered (see ``extract``) so
+        # their AABBs are tight; each skipped view saves its gather rows
+        # and merge MLP via lax.cond. Addresses the reference cost center
+        # slams/meshing.py:294-377 (project into EVERY keyframe).
+        self.view_skip = bool(cfg.get("tpu", {}).get("mesh_view_skip", True))
         scale = float(cfg.get("scale", 1))
         self.mc_bound = (
             np.asarray(
@@ -127,65 +136,103 @@ class Mesher:
             B = pts.shape[0]
             h = spec.hidden_dim
 
+            # chunk AABB corners for the per-view visibility test (device
+            # local: under the dp shard_map each shard tests its own points)
+            p_lo = jnp.min(pts, axis=0)
+            p_hi = jnp.max(pts, axis=0)
+            cbits = jnp.asarray(
+                [[i & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
+                pts.dtype,
+            )
+            aabb = p_lo[None] * (1 - cbits) + p_hi[None] * cbits  # (8,3)
+
             def kf_step(carry, inputs):
-                code_sum, count, label, label_seen = carry
                 c2w, valid, feats, labels_img, depth_img = inputs
                 w2c = invert_se3(c2w)
-                pc = world_to_camera(pts, w2c[None])[0]  # (B,3)
-                u, v, d = project_points(
-                    pc, cam["fx"], cam["fy"], cam["cx"], cam["cy"]
-                )
-                u = jnp.round(u)
-                v = jnp.round(v)
-                seen = (
-                    (u > 0) & (u < cam["W"] - 1) & (v > 0) & (v < cam["H"] - 1)
-                    & (d > 0) & valid
-                )
-                Hf, Wf = feats.shape[0], feats.shape[1]
-                gx = u * ((Wf - 1.0) / (cam["W"] - 1.0))
-                gy = v * ((Hf - 1.0) / (cam["H"] - 1.0))
-                if self.fuse_rows:
-                    # feats is the fused (Hf, Wf, 64+2) map: one gather row
-                    # per view-point yields code + depth + label
-                    row = nearest_sample(feats, gx, gy)  # (B, 66)
-                    code = row[:, :-2]
-                    kf_d = row[:, -2].astype(jnp.float32)
-                    lab_f = row[:, -1].astype(jnp.float32)
-                else:
-                    sampler = (
-                        bilinear_sample if self.feature_taps == 4
-                        else nearest_sample
+
+                def view_body(carry):
+                    code_sum, count, label, label_seen = carry
+                    pc = world_to_camera(pts, w2c[None])[0]  # (B,3)
+                    u, v, d = project_points(
+                        pc, cam["fx"], cam["fy"], cam["cx"], cam["cy"]
                     )
-                    code = sampler(feats, gx, gy)  # (B,64)
-                    # depth-truncation mask vs the keyframe's sensor depth;
-                    # depth+label gathered as ONE two-channel row per point
-                    # (gather cost is per-row on TPU)
-                    ui = jnp.clip(u, 0, cam["W"] - 1).astype(jnp.int32)
-                    vi = jnp.clip(v, 0, cam["H"] - 1).astype(jnp.int32)
-                    dl = jnp.stack(
-                        [depth_img, labels_img.astype(depth_img.dtype)], -1
-                    )[vi, ui]  # (B, 2)
-                    kf_d = dl[:, 0]
-                    lab_f = dl[:, 1]
-                if self.depth_test:
-                    # visibility requires the point to not be far behind the
-                    # observed surface (reference: meshing.py:124-291;
-                    # zero-depth pixels pass, as the reference fills them
-                    # with max depth)
-                    seen = seen & ((kf_d <= 0) | (d <= kf_d + 0.5))
-                trunc = (d > kf_d * 0.95) & (d < kf_d * 1.05) & (kf_d > 0)
-                use = seen & trunc
-                code = code * use[:, None]
-                rel = pts - c2w[:3, 3]
-                merged = merge_apply(
-                    params, rel[None], code[None], bound, spec, cdt
-                )  # (B,h)
-                code_sum = code_sum + merged * seen[:, None]
-                count = count + seen.astype(jnp.float32)
-                lab = lab_f.astype(jnp.int32)
-                label = jnp.where(seen, lab, label)
-                label_seen = label_seen | seen
-                return (code_sum, count, label, label_seen), None
+                    u = jnp.round(u)
+                    v = jnp.round(v)
+                    seen = (
+                        (u > 0) & (u < cam["W"] - 1)
+                        & (v > 0) & (v < cam["H"] - 1)
+                        & (d > 0) & valid
+                    )
+                    Hf, Wf = feats.shape[0], feats.shape[1]
+                    gx = u * ((Wf - 1.0) / (cam["W"] - 1.0))
+                    gy = v * ((Hf - 1.0) / (cam["H"] - 1.0))
+                    if self.fuse_rows:
+                        # feats is the fused (Hf, Wf, 64+2) map: one gather
+                        # row per view-point yields code + depth + label
+                        row = nearest_sample(feats, gx, gy)  # (B, 66)
+                        code = row[:, :-2]
+                        kf_d = row[:, -2].astype(jnp.float32)
+                        lab_f = row[:, -1].astype(jnp.float32)
+                    else:
+                        sampler = (
+                            bilinear_sample if self.feature_taps == 4
+                            else nearest_sample
+                        )
+                        code = sampler(feats, gx, gy)  # (B,64)
+                        # depth-truncation mask vs the keyframe's sensor
+                        # depth; depth+label gathered as ONE two-channel row
+                        # per point (gather cost is per-row on TPU)
+                        ui = jnp.clip(u, 0, cam["W"] - 1).astype(jnp.int32)
+                        vi = jnp.clip(v, 0, cam["H"] - 1).astype(jnp.int32)
+                        dl = jnp.stack(
+                            [depth_img, labels_img.astype(depth_img.dtype)],
+                            -1,
+                        )[vi, ui]  # (B, 2)
+                        kf_d = dl[:, 0]
+                        lab_f = dl[:, 1]
+                    if self.depth_test:
+                        # visibility requires the point to not be far behind
+                        # the observed surface (reference: meshing.py:124-291;
+                        # zero-depth pixels pass, as the reference fills them
+                        # with max depth)
+                        seen = seen & ((kf_d <= 0) | (d <= kf_d + 0.5))
+                    trunc = (d > kf_d * 0.95) & (d < kf_d * 1.05) & (kf_d > 0)
+                    use = seen & trunc
+                    code = code * use[:, None]
+                    rel = pts - c2w[:3, 3]
+                    merged = merge_apply(
+                        params, rel[None], code[None], bound, spec, cdt
+                    )  # (B,h)
+                    code_sum = code_sum + merged * seen[:, None]
+                    count = count + seen.astype(jnp.float32)
+                    lab = lab_f.astype(jnp.int32)
+                    label = jnp.where(seen, lab, label)
+                    label_seen = label_seen | seen
+                    return (code_sum, count, label, label_seen)
+
+                if not self.view_skip:
+                    return view_body(carry), None
+                # Conservative skip: with every AABB corner in front of the
+                # camera, the (projective) pixel projection of the chunk's
+                # convex hull is the convex hull of the projected corners —
+                # if all corners sit beyond one image edge, no chunk point
+                # can satisfy the ``seen`` predicate above and the view
+                # contributes nothing (all accumulation is seen-gated), so
+                # skipping it is bit-exact. Any corner behind the camera
+                # voids the hull argument -> conservatively visible (unless
+                # ALL corners are behind: then every hull point has d <= 0).
+                uc, vc, dc = project_points(
+                    world_to_camera(aabb, w2c[None])[0],
+                    cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+                )
+                all_behind = jnp.all(dc <= 0)
+                sep = (
+                    jnp.all(uc <= 0) | jnp.all(uc >= cam["W"] - 1)
+                    | jnp.all(vc <= 0) | jnp.all(vc >= cam["H"] - 1)
+                )
+                maybe = valid & ~all_behind & (jnp.any(dc <= 0) | ~sep)
+                carry = jax.lax.cond(maybe, view_body, lambda c: c, carry)
+                return carry, None
 
             init = (
                 jnp.zeros((B, h)),
@@ -387,15 +434,27 @@ class Mesher:
         bound_j = jnp.asarray(self.bound, jnp.float32)
 
         def query_points(p):
-            """Chunked field query: (M,3) -> occ, label, color, seen."""
+            """Chunked field query: (M,3) -> occ, label, color, seen.
+
+            Points are visited in Morton (Z-curve) order so each chunk is
+            spatially compact: the per-view AABB skip in ``query_chunk``
+            then prunes keyframes that cannot see the chunk. The ordering
+            is a pure permutation (results are scattered back), so outputs
+            are identical either way."""
             M = p.shape[0]
+            order = None
+            if self.view_skip and M > B:
+                order = self._morton_order(p, lo, spacing)
+                p = p[order]
             o_ = np.empty(M, np.float32)
             l_ = np.empty(M, np.int32)
             c_ = np.empty((M, 3), np.float32)
             s_ = np.empty(M, np.float32)
             for a in range(0, M, B):
                 e = min(a + B, M)
-                chunk = np.zeros((B, 3), np.float32)
+                # pad with the chunk's last point (not zeros): padding must
+                # not inflate the chunk AABB the view skip tests
+                chunk = np.broadcast_to(p[e - 1], (B, 3)).copy()
                 chunk[: e - a] = p[a:e]
                 o, l, c, cnt = self._query(
                     params, jnp.asarray(chunk), kf.est_c2w, kf_valid, feats,
@@ -405,6 +464,10 @@ class Mesher:
                 l_[a:e] = np.asarray(l)[: e - a]
                 c_[a:e] = np.asarray(c)[: e - a]
                 s_[a:e] = np.asarray(cnt)[: e - a]
+            if order is not None:
+                inv = np.empty(M, np.int64)
+                inv[order] = np.arange(M)
+                return o_[inv], l_[inv], c_[inv], s_[inv]
             return o_, l_, c_, s_
 
         r = self.resolution
@@ -458,23 +521,30 @@ class Mesher:
             miss = vlab < 0
             vlab[miss] = label[far[miss]]
         else:
-            vcol = np.zeros((verts.shape[0], 3), np.float32)
-            vlab = np.zeros(verts.shape[0], np.int32)
-            for s in range(0, verts.shape[0], B):
-                e = min(s + B, verts.shape[0])
-                chunk = np.zeros((B, 3), np.float32)
-                chunk[: e - s] = verts[s:e]
-                _, l, c, _ = self._query(
-                    params, jnp.asarray(chunk), kf.est_c2w, kf_valid, feats,
-                    kf.labels, kf_depths, bound_j,
-                )
-                vcol[s:e] = np.asarray(c)[: e - s]
-                vlab[s:e] = np.asarray(l)[: e - s]
+            # reference-exact vertex re-query (meshing.py:735-762), through
+            # the same chunked path as the grid pass (Morton order + skips)
+            _, vlab, vcol, _ = query_points(verts.astype(np.float32))
 
         out = {"vertices": verts, "faces": faces, "colors": vcol, "labels": vlab}
         if class2color is not None:
             out["label_colors"] = class2color[np.clip(vlab, 0, len(class2color) - 1)]
         return out
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _morton_order(p, lo, spacing):
+        """Stable argsort of points along a Morton (Z-order) curve of their
+        grid lattice coords, so sequential chunks are spatially compact
+        (tight AABBs -> more keyframe-view skips in the chunk query)."""
+        g = np.round((np.asarray(p) - lo) / np.asarray(spacing))
+        g = np.clip(g, 0, (1 << 10) - 1).astype(np.uint64)
+        code = np.zeros(g.shape[0], np.uint64)
+        for b in range(10):
+            for a in range(3):
+                code |= ((g[:, a] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                    3 * b + a
+                )
+        return np.argsort(code, kind="stable")
 
     # ------------------------------------------------------------------
     def _hierarchical_query(self, pts, query_points):

@@ -34,7 +34,22 @@ def main():
     cam = dict(H=H, W=W, fx=fx, fy=fx, cx=(W - 1) / 2.0, cy=(H - 1) / 2.0)
 
     pts = jnp.asarray(rng.uniform(-2.0, 3.0, size=(B, 3)).astype(np.float32))
+    # a Morton-chunk-like compact cluster (0.8 m cube): measures the
+    # view-skip's realistic regime, where most keyframes cannot see the chunk
+    pts_local = jnp.asarray(
+        rng.uniform(0.0, 0.8, size=(B, 3)).astype(np.float32)
+        + np.asarray([0.0, 0.0, -2.5], np.float32)
+    )
     kf_c2w = jnp.tile(jnp.eye(4), (K, 1, 1))
+    # trajectory-like pose spread: yaw k*45deg, offset along the walk
+    yaw = np.arange(K) * (np.pi / 4)
+    c2ws = np.tile(np.eye(4), (K, 1, 1)).astype(np.float32)
+    c2ws[:, 0, 0] = np.cos(yaw)
+    c2ws[:, 0, 2] = np.sin(yaw)
+    c2ws[:, 2, 0] = -np.sin(yaw)
+    c2ws[:, 2, 2] = np.cos(yaw)
+    c2ws[:, 0, 3] = np.linspace(-2.0, 3.0, K)
+    kf_c2w_spread = jnp.asarray(c2ws)
     kf_valid = jnp.ones(K, bool)
     kf_feats = jnp.asarray(
         rng.normal(size=(K, H // 2, W // 2, 64)).astype(np.float32)
@@ -44,14 +59,26 @@ def main():
         rng.uniform(0.5, 5.0, size=(K, H, W)).astype(np.float32)
     )
 
-    for fused in (False, True):
+    cases = [
+        # (label, fused, skip, points, poses)
+        ("unfused",            False, False, pts, kf_c2w),
+        ("fused",              True,  False, pts, kf_c2w),
+        # skip overhead: every view sees the chunk (identity poses, spread
+        # points) -> the frustum cond always takes the work branch
+        ("fused+skip all-vis", True,  True,  pts, kf_c2w),
+        # realistic: compact Morton chunk, trajectory poses — most views skip
+        ("fused+skip local",   True,  True,  pts_local, kf_c2w_spread),
+        ("fused noskip local", True,  False, pts_local, kf_c2w_spread),
+    ]
+    for label, fused, skip, qpts, poses in cases:
         mcfg = {
             "meshing": {"resolution": 256, "points_batch_size": B,
                         "level_set": 0.0, "clean_mesh": False,
                         "depth_test": True},
             "back_end": {"bound": bound_np.tolist(),
                          "marching_cubes_bound": bound_np.tolist()},
-            "tpu": {"feature_taps": 1, "mesh_fused_rows": fused},
+            "tpu": {"feature_taps": 1, "mesh_fused_rows": fused,
+                    "mesh_view_skip": skip},
         }
         mesher = Mesher(mcfg, cam, bound_np, spec, jnp.bfloat16)
         feats_in = (
@@ -62,7 +89,7 @@ def main():
         q = mesher._query
 
         def run():
-            o = q(params, pts, kf_c2w, kf_valid, feats_in, kf_labels,
+            o = q(params, qpts, poses, kf_valid, feats_in, kf_labels,
                   kf_depths, bound)
             return float(jnp.vdot(o[0], o[0]))
 
@@ -73,7 +100,7 @@ def main():
             run()
             ts.append(time.perf_counter() - t0)
         s = min(ts) - TUNNEL_S
-        print(f"fused={fused}: {s*1e3:8.1f} ms/chunk  "
+        print(f"{label:>20}: {s*1e3:8.1f} ms/chunk  "
               f"{B/s/1e6:6.2f} Mpts/s", flush=True)
 
 

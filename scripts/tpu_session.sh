@@ -30,6 +30,9 @@ run buckets      1200 python -u scripts/probe_buckets.py
 run profile_map  900 python -u scripts/profile_map.py
 run profile_track 900 python -u scripts/profile_track.py --interp tet --oneblob quartic
 
+# 3.5 mesh query: fused rows + the per-chunk keyframe view skip
+run mesh_query   900 python -u scripts/probe_mesh_query.py
+
 # 4. the headline bench (also exercises tracking + mesh + amortized FPS)
 run bench        1800 python -u bench.py
 

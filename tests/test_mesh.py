@@ -320,3 +320,99 @@ def test_fused_view_rows_match_unfused():
         # chance level is 1/n_class = 0.2. Real label maps are
         # segment-constant, where agreement ~ 1 off segment boundaries.
         assert agree > 0.25, f"label agreement {agree} at chance level"
+
+
+def test_view_skip_is_exact():
+    """The conservative per-chunk keyframe frustum skip (tpu.mesh_view_skip)
+    must be bit-exact: a skipped view is one where no chunk point passes the
+    ``seen`` predicate, and every per-view contribution is seen-gated."""
+    import jax
+    import jax.numpy as jnp
+
+    from dnsjax.mesh.mesher import Mesher
+    from dnsjax.models.decoder import DecoderSpec, init_decoder_params
+    from dnsjax.ops.hashgrid import HashGridSpec
+
+    H, W, K, B, n_class = 34, 40, 4, 64, 5
+    cam = dict(H=H, W=W, fx=20.0, fy=20.0, cx=(W - 1) / 2, cy=(H - 1) / 2)
+    bound = np.asarray([[-3.0, 3.0], [-3.0, 3.0], [-3.0, 3.0]])
+    spec = DecoderSpec(
+        n_class=n_class,
+        grid=HashGridSpec(2, 8, 10, 4, 16),
+        n_bins=4,
+    )
+    params = init_decoder_params(jax.random.PRNGKey(0), spec)
+
+    rng = np.random.default_rng(7)
+    kf_feats = jnp.asarray(
+        rng.normal(size=(K, H // 2, W // 2, 64)).astype(np.float32)
+    )
+    kf_depths = jnp.asarray(
+        rng.uniform(0.5, 4.0, size=(K, H, W)).astype(np.float32)
+    )
+    kf_labels = jnp.asarray(rng.integers(0, n_class, size=(K, H, W)), jnp.int32)
+    # diverse poses: origin looking -z; shifted +x; looking +z (180 deg yaw,
+    # sees nothing in front of the others); far away
+    flip = np.diag([-1.0, 1.0, -1.0])
+    c2ws = np.tile(np.eye(4), (K, 1, 1))
+    c2ws[1, :3, 3] = [1.5, 0.0, 0.0]
+    c2ws[2, :3, :3] = flip
+    c2ws[3, :3, 3] = [50.0, 0.0, 0.0]
+    kf_c2w = jnp.asarray(c2ws, jnp.float32)
+    kf_valid = jnp.ones(K, bool)
+    # a tight cluster in front of cameras 0/1 only (z < 0 is "in front")
+    pts = jnp.asarray(
+        rng.uniform(-0.4, 0.4, size=(B, 3)).astype(np.float32)
+        + np.asarray([0.0, 0.0, -2.0], np.float32)
+    )
+    bound_j = jnp.asarray(bound, jnp.float32)
+
+    def build(skip):
+        cfg = {
+            "meshing": {"resolution": 16, "points_batch_size": B,
+                        "level_set": 0.0, "clean_mesh": False,
+                        "depth_test": True},
+            "back_end": {"bound": bound.tolist()},
+            "tpu": {"feature_taps": 1, "mesh_fused_rows": False,
+                    "mesh_view_skip": skip},
+        }
+        return Mesher(cfg, cam, bound, spec, jnp.bfloat16)
+
+    outs = []
+    for skip in (False, True):
+        m = build(skip)
+        assert m.view_skip is skip
+        outs.append(m._query(
+            params, pts, kf_c2w, kf_valid, kf_feats, kf_labels, kf_depths,
+            bound_j,
+        ))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # sanity: the cluster IS observed by someone (the test is not vacuous)
+    assert float(np.asarray(outs[0][3]).max()) >= 1.0
+
+
+def test_morton_order_locality():
+    """_morton_order is a permutation whose sequential chunks have smaller
+    AABBs than raveled-grid order (the property the view skip relies on)."""
+    from dnsjax.mesh.mesher import Mesher
+
+    r = 64
+    ax = np.linspace(-1.0, 1.0, r)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    p = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1)
+    sp = (ax[1] - ax[0],) * 3
+    order = Mesher._morton_order(p, np.asarray([-1.0, -1.0, -1.0]), sp)
+    assert np.array_equal(np.sort(order), np.arange(r**3))
+
+    # raveled chunks are thin slabs spanning the full scene in two axes
+    # (sum of extents ~ 4); Morton chunks are compact cubes (~1.5) — the
+    # quantity frustum-intersection probability scales with
+    def mean_chunk_extent(q, B=4096):
+        exts = []
+        for a in range(0, q.shape[0], B):
+            c = q[a:a + B]
+            exts.append(np.sum(c.max(0) - c.min(0)))
+        return np.mean(exts)
+
+    assert mean_chunk_extent(p[order]) < 0.5 * mean_chunk_extent(p)
