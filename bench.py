@@ -296,6 +296,65 @@ def main():
     mesh_s = _min3(run_mesh)
     mesh_mpts = B / mesh_s / 1e6
 
+    # ---- pending-adoption extras (fail-soft) -------------------------------
+    # The round-end bench may be this round's only live TPU window, so it
+    # also captures the A-numbers for the queued adoption decisions
+    # (scripts/tpu_session.sh has the full probes).
+
+    # (a) mesh view skip in its realistic regime: a compact Morton-chunk
+    # cluster against trajectory-spread poses (same shapes as above — the
+    # compiled query program is reused, only values change). The headline
+    # mesh number above keeps the r02-comparable all-visible workload.
+    mesh_local_mpts = None
+    try:
+        pts_l = jnp.asarray(
+            rng.uniform(0.0, 0.8, size=(B, 3)).astype(np.float32)
+            + np.asarray([0.0, 0.0, -2.5], np.float32)
+        )
+        yaw = np.arange(K) * (np.pi / 4)
+        c2ws = np.tile(np.eye(4), (K, 1, 1)).astype(np.float32)
+        c2ws[:, 0, 0] = np.cos(yaw)
+        c2ws[:, 0, 2] = np.sin(yaw)
+        c2ws[:, 2, 0] = -np.sin(yaw)
+        c2ws[:, 2, 2] = np.cos(yaw)
+        c2ws[:, 0, 3] = np.linspace(-2.0, 3.0, K)
+        kf_c2w_l = jnp.asarray(c2ws)
+
+        def run_mesh_local():
+            o = q(params, pts_l, kf_c2w_l, kf_valid, kf_feats, kf_labels,
+                  kf_depths, bound)
+            _ = float(jnp.vdot(o[0], o[0]))
+
+        run_mesh_local()  # warm (no recompile: same shapes)
+        mesh_local_mpts = B / _min3(run_mesh_local) / 1e6
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: local mesh bench failed ({e!r}); continuing",
+              file=_sys.stderr)
+
+    # (b) Pallas matmul-gather hash-encode forward (model.grid.gather:
+    # pallas; ops/gather.py) through the full keystep
+    rays_per_sec_pg = None
+    try:
+        if spec.grid.gather != "pallas" and spec.grid.gather_bf16:
+            spec_pg = _dc.replace(
+                spec, grid=_dc.replace(spec.grid, gather="pallas")
+            )
+            map_fn_pg = make_map_fn(spec_pg, mcfg, N_TARGET, N_ITERS)
+            o = map_fn_pg(params, t7[:, :4], t7[:, 4:], window,
+                          jax.random.PRNGKey(1))
+            _ = float(np.asarray(o[3]["losses"])[-1])  # compile + warm
+
+            def run_map_pg():
+                o = map_fn_pg(params, t7[:, :4], t7[:, 4:], window,
+                              jax.random.PRNGKey(ks[0]))
+                ks[0] += 1
+                _ = float(np.asarray(o[3]["losses"])[-1])
+
+            rays_per_sec_pg = N_ITERS * rays_per_iter / _min3(run_map_pg)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: pallas-gather bench failed ({e!r}); continuing",
+              file=_sys.stderr)
+
     # Amortized end-to-end FPS: the honest "real-time SLAM" number — one
     # strict-sync cycle is optimize_every tracked frames plus one keystep
     # (reference: tracking.py:259-263, mapping.py:996-998). On a single
@@ -325,6 +384,16 @@ def main():
                     else {}
                 ),
                 "mesh_query_mpts_per_sec": round(mesh_mpts, 2),
+                **(
+                    {"mesh_query_local_mpts_per_sec": round(mesh_local_mpts, 2)}
+                    if mesh_local_mpts
+                    else {}
+                ),
+                **(
+                    {"mapping_rays_per_sec_pallas_gather": round(rays_per_sec_pg, 1)}
+                    if rays_per_sec_pg
+                    else {}
+                ),
                 "amortized_fps": round(amortized_fps, 2),
             }
         )
