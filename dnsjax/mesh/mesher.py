@@ -32,7 +32,7 @@ from dnsjax.models.decoder import (
     pos_encode,
     fine_apply,
 )
-from dnsjax.models.features import bilinear_sample, nearest_sample
+from dnsjax.models.features import _row_gather, bilinear_sample, nearest_sample
 
 
 class Mesher:
@@ -184,10 +184,14 @@ class Mesher:
                         # per point (gather cost is per-row on TPU)
                         ui = jnp.clip(u, 0, cam["W"] - 1).astype(jnp.int32)
                         vi = jnp.clip(v, 0, cam["H"] - 1).astype(jnp.int32)
-                        dl = jnp.stack(
-                            [depth_img, labels_img.astype(depth_img.dtype)],
-                            -1,
-                        )[vi, ui]  # (B, 2)
+                        dl = _row_gather(
+                            jnp.stack(
+                                [depth_img, labels_img.astype(depth_img.dtype)],
+                                -1,
+                            ),
+                            vi,
+                            ui,
+                        )  # (B, 2)
                         kf_d = dl[:, 0]
                         lab_f = dl[:, 1]
                     if self.depth_test:
