@@ -66,6 +66,94 @@ def nearest_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndar
     return _row_gather(img, yi, xi)
 
 
+def match_features_batched(
+    params: Dict[str, Any],
+    pts_w: jnp.ndarray,
+    refer_w2c: jnp.ndarray,
+    feats_half: jnp.ndarray,
+    cam: Dict[str, Any],
+    bound: jnp.ndarray,
+    spec: DecoderSpec,
+    compute_dtype=jnp.bfloat16,
+    taps: int = 4,
+) -> jnp.ndarray:
+    """Batched ``match_features`` over T frames with ONE flat feature gather.
+
+    XLA TPU gathers are an order of magnitude slower per row when the
+    gather carries operand batching dims (a table per frame/view under
+    vmap) than as a flat single-axis gather from one table — 12.3 vs
+    ~1 ns/row measured at the mapping shape (probe_buckets A1 /
+    probe_feat_flat). So all T*R feature maps are flattened into one
+    (T*R*Hf*Wf, C) table and every tap of every view of every frame is
+    gathered in a single flat lookup; values are bit-identical to the
+    per-view sampler (the flat index arithmetic commutes with the
+    reshape). The mapper calls this OUTSIDE its per-frame vmap for
+    exactly this reason.
+
+    Args:
+      params: decoder params (uses ``merge``).
+      pts_w: (T, P, 3) world points per frame.
+      refer_w2c: (T, R, 4, 4) world-to-camera of each frame's views.
+      feats_half: (T, R, Hf, Wf, C) encoder features at half resolution.
+      cam: dict with H, W, fx, fy, cx, cy (full-resolution intrinsics).
+      bound: (3, 2) scene bound.
+      taps: 4 = bilinear gather (equivalent to the reference's upsample +
+        nearest-pixel lookup); 1 = nearest tap at half resolution — 4x fewer
+        gather rows (the dominant cost of this op on TPU) at a comparable
+        approximation level, since the reference itself rounds to the
+        nearest full-res pixel.
+    Returns:
+      (T, P, hidden_dim) merged codes. Out-of-frustum / behind-camera
+      samples contribute a zeroed pixel feature (but still a PE term) to
+      the view mean, matching the reference (common.py:665-677).
+    """
+    H, W = int(cam["H"]), int(cam["W"])
+    fx, fy, cx, cy = cam["fx"], cam["fy"], cam["cx"], cam["cy"]
+    T, R = refer_w2c.shape[0], refer_w2c.shape[1]
+    Hf, Wf, C = feats_half.shape[-3:]
+
+    pts_cam = jax.vmap(world_to_camera)(pts_w, refer_w2c)  # (T, R, P, 3)
+    u, v, depth = project_points(pts_cam, fx, fy, cx, cy)
+    u = jnp.round(u)
+    v = jnp.round(v)
+    mask = (u > 0) & (u < W - 1) & (v > 0) & (v < H - 1) & (depth > 0)
+
+    # Full-res pixel -> half-res coordinate under align_corners=True upsampling.
+    gx = u * ((Wf - 1.0) / (W - 1.0))
+    gy = v * ((Hf - 1.0) / (H - 1.0))
+
+    flat = feats_half.reshape(T * R * Hf * Wf, C)
+    # per-(frame, view) row offset into the flat table, broadcast over P
+    base = (jnp.arange(T * R, dtype=jnp.int32) * (Hf * Wf)).reshape(T, R, 1)
+
+    if taps == 4:
+        x = jnp.clip(gx, 0.0, Wf - 1.0)
+        y = jnp.clip(gy, 0.0, Hf - 1.0)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, Wf - 1)
+        y1 = jnp.minimum(y0 + 1, Hf - 1)
+        fxw = (x - x0)[..., None]
+        fyw = (y - y0)[..., None]
+        code = (
+            flat[base + y0 * Wf + x0] * (1 - fxw) * (1 - fyw)
+            + flat[base + y0 * Wf + x1] * fxw * (1 - fyw)
+            + flat[base + y1 * Wf + x0] * (1 - fxw) * fyw
+            + flat[base + y1 * Wf + x1] * fxw * fyw
+        )
+    else:
+        xi = jnp.clip(jnp.round(gx), 0, Wf - 1).astype(jnp.int32)
+        yi = jnp.clip(jnp.round(gy), 0, Hf - 1).astype(jnp.int32)
+        code = flat[base + yi * Wf + xi]  # (T, R, P, C)
+    code = code * mask[..., None]
+
+    refer_c2w = invert_se3(refer_w2c)
+    refer_o = refer_c2w[..., :3, 3]  # (T, R, 3)
+    rel = pts_w[:, None, :, :] - refer_o[:, :, None, :]  # (T, R, P, 3)
+    merge = lambda r, c: merge_apply(params, r, c, bound, spec, compute_dtype)
+    return jax.vmap(merge)(rel, code)  # (T, P, hidden)
+
+
 def match_features(
     params: Dict[str, Any],
     pts_w: jnp.ndarray,
@@ -77,43 +165,10 @@ def match_features(
     compute_dtype=jnp.bfloat16,
     taps: int = 4,
 ) -> jnp.ndarray:
-    """Project points into each reference view and fuse gathered features.
-
-    Args:
-      params: decoder params (uses ``merge``).
-      pts_w: (P, 3) world points.
-      refer_w2c: (R, 4, 4) world-to-camera of the reference views.
-      feats_half: (R, Hf, Wf, 64) encoder features at half resolution.
-      cam: dict with H, W, fx, fy, cx, cy (full-resolution intrinsics).
-      bound: (3, 2) scene bound.
-      taps: 4 = bilinear gather (equivalent to the reference's upsample +
-        nearest-pixel lookup); 1 = nearest tap at half resolution — 4x fewer
-        gather rows (the dominant cost of this op on TPU) at a comparable
-        approximation level, since the reference itself rounds to the
-        nearest full-res pixel.
-    Returns:
-      (P, hidden_dim) merged code. Out-of-frustum / behind-camera samples
-      contribute a zeroed pixel feature (but still a PE term) to the view
-      mean, matching the reference (common.py:665-677).
-    """
-    H, W = int(cam["H"]), int(cam["W"])
-    fx, fy, cx, cy = cam["fx"], cam["fy"], cam["cx"], cam["cy"]
-    Hf, Wf = feats_half.shape[1], feats_half.shape[2]
-
-    pts_cam = world_to_camera(pts_w, refer_w2c)  # (R, P, 3)
-    u, v, depth = project_points(pts_cam, fx, fy, cx, cy)
-    u = jnp.round(u)
-    v = jnp.round(v)
-    mask = (u > 0) & (u < W - 1) & (v > 0) & (v < H - 1) & (depth > 0)
-
-    # Full-res pixel -> half-res coordinate under align_corners=True upsampling.
-    gx = u * ((Wf - 1.0) / (W - 1.0))
-    gy = v * ((Hf - 1.0) / (H - 1.0))
-    sampler = bilinear_sample if taps == 4 else nearest_sample
-    code = jax.vmap(sampler)(feats_half, gx, gy)  # (R, P, 64)
-    code = code * mask[..., None]
-
-    refer_c2w = invert_se3(refer_w2c)
-    refer_o = refer_c2w[:, :3, 3]  # (R, 3)
-    rel = pts_w[None, :, :] - refer_o[:, None, :]  # (R, P, 3)
-    return merge_apply(params, rel, code, bound, spec, compute_dtype)
+    """Single-frame ``match_features_batched``: pts (P, 3), views (R, 4, 4),
+    feats (R, Hf, Wf, C) -> (P, hidden_dim). The views are still fused into
+    one flat gather (the fast path) — only the frame batch dim is dropped."""
+    return match_features_batched(
+        params, pts_w[None], refer_w2c[None], feats_half[None],
+        cam, bound, spec, compute_dtype, taps,
+    )[0]

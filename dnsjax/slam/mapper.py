@@ -42,7 +42,7 @@ from dnsjax.losses import (
     masked_mean,
 )
 from dnsjax.models.decoder import DecoderSpec, pos_encode, coarse_apply
-from dnsjax.models.features import match_features
+from dnsjax.models.features import match_features, match_features_batched
 from dnsjax.render.pipeline import render_fine
 from dnsjax.render.sampling import sample_along_rays
 from dnsjax.slam.sampling import (
@@ -150,8 +150,12 @@ def _build_loss_fn(
     n_ray = n_uni + n_bal
     S = cfg.n_samples + cfg.n_surface
 
-    def sample_target(params, key, c2w_live, t, window):
-        """Assemble one target frame's ray batch. Returns per-ray tensors."""
+    def sample_target(key, c2w_live, t, window):
+        """Assemble one target frame's ray batch. Returns per-ray tensors
+        plus the frame's reference-view poses; the feature gather itself is
+        hoisted OUT of the per-frame vmap into one flat batched lookup
+        (match_features_batched — a vmapped per-frame gather carries operand
+        batching dims that TPU executes ~12x slower per row)."""
         k_u, k_b, k_z = jax.random.split(key, 3)
         colorf = window["colors"][t].reshape(-1, 3)
         depthf = window["depths"][t].reshape(-1)
@@ -189,16 +193,7 @@ def _build_loss_fn(
         refer_c2w = jnp.where((src >= 0)[:, None, None], live, fixed)
         refer_w2c = invert_se3(refer_c2w)
 
-        code = match_features(
-            params, pts.reshape(-1, 3), refer_w2c, window["refer_feats"][t],
-            cfg.cam, window["bound"], spec, compute_dtype, taps=cfg.feature_taps,
-        ).reshape(n_ray, S, -1)
-        front = z < gt_d[:, None] * 0.95
-        back = z > gt_d[:, None] * 1.05
-        trunc = (~front) & (~back) & (gt_d[:, None] > 0)
-        code = code * trunc[..., None]
-
-        return gt_c, gt_d, gt_l, rays_d, z, pts, code, inside
+        return gt_c, gt_d, gt_l, rays_d, z, pts, refer_w2c, inside
 
     def loss_fn(opt_params, key, it, window):
         params, quads, Ts = opt_params
@@ -211,10 +206,24 @@ def _build_loss_fn(
         # one batched assembly instead of T unrolled small-op chains (same
         # math and keys; vmap keeps XLA from scheduling T tiny pipelines)
         per = jax.vmap(
-            lambda key, t: sample_target(params, key, c2w_live, t, window)
+            lambda key, t: sample_target(key, c2w_live, t, window)
         )(keys, jnp.arange(T))
+        gt_c, gt_d, gt_l, rays_d, z, pts, refer_w2c, inside = per
+
+        # one flat gather for all T frames x R views (see sample_target doc)
+        code = match_features_batched(
+            params, pts.reshape(T, n_ray * S, 3), refer_w2c,
+            window["refer_feats"], cfg.cam, window["bound"], spec,
+            compute_dtype, taps=cfg.feature_taps,
+        ).reshape(T, n_ray, S, -1)
+        front = z < gt_d[..., None] * 0.95
+        back = z > gt_d[..., None] * 1.05
+        trunc = (~front) & (~back) & (gt_d[..., None] > 0)
+        code = code * trunc[..., None]
+
         gt_c, gt_d, gt_l, rays_d, z, pts, code, inside = (
-            p.reshape((T * n_ray,) + p.shape[2:]) for p in per
+            p.reshape((T * n_ray,) + p.shape[2:])
+            for p in (gt_c, gt_d, gt_l, rays_d, z, pts, code, inside)
         )
 
         out = render_fine(
