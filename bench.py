@@ -331,38 +331,28 @@ def main():
         print(f"bench: local mesh bench failed ({e!r}); continuing",
               file=_sys.stderr)
 
-    # (b) Pallas matmul-gather hash-encode forward (model.grid.gather:
-    # pallas; ops/gather.py) through the full keystep
-    rays_per_sec_pg = None
-    try:
-        if spec.grid.gather != "pallas" and spec.grid.gather_bf16:
-            spec_pg = _dc.replace(
-                spec, grid=_dc.replace(spec.grid, gather="pallas")
-            )
-            map_fn_pg = make_map_fn(spec_pg, mcfg, N_TARGET, N_ITERS)
-            o = map_fn_pg(params, t7[:, :4], t7[:, 4:], window,
-                          jax.random.PRNGKey(1))
-            _ = float(np.asarray(o[3]["losses"])[-1])  # compile + warm
-
-            def run_map_pg():
-                o = map_fn_pg(params, t7[:, :4], t7[:, 4:], window,
-                              jax.random.PRNGKey(ks[0]))
-                ks[0] += 1
-                _ = float(np.asarray(o[3]["losses"])[-1])
-
-            rays_per_sec_pg = N_ITERS * rays_per_iter / _min3(run_map_pg)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench: pallas-gather bench failed ({e!r}); continuing",
-              file=_sys.stderr)
+    # (The pallas matmul-gather A-number was captured 2026-08-18 and the
+    # variant REJECTED: 56.6k rays/s through the full keystep vs 84.5k for
+    # the XLA gather — AB_QUALITY.md. ops/gather.py stays opt-in.)
 
     # Amortized end-to-end FPS: the honest "real-time SLAM" number — one
     # strict-sync cycle is optimize_every tracked frames plus one keystep
     # (reference: tracking.py:259-263, mapping.py:996-998). On a single
     # chip this is total-device-work bound regardless of async scheduling;
     # tpu.map_device on a second chip hides the keystep entirely, making
-    # amortized ~= tracking FPS.
+    # amortized ~= tracking FPS. Uses the PRODUCTION tracking operating
+    # point from configs/slam.yaml (method: lm since its ab_quality gate
+    # passed); tracking_fps above keeps the reference Adam schedule for
+    # cross-round comparability.
+    method = str(cfg.get("tracking", {}).get("method", "adam"))
+    if method == "lm" and tracking_fps_lm:
+        prod_track_s = 1.0 / tracking_fps_lm
+    elif tracking_fps_patience:
+        prod_track_s = 1.0 / tracking_fps_patience
+    else:
+        prod_track_s = track_s
     cyc = 5
-    amortized_fps = cyc / (cyc * track_s + keystep_s)
+    amortized_fps = cyc / (cyc * prod_track_s + keystep_s)
 
     print(
         json.dumps(
@@ -387,11 +377,6 @@ def main():
                 **(
                     {"mesh_query_local_mpts_per_sec": round(mesh_local_mpts, 2)}
                     if mesh_local_mpts
-                    else {}
-                ),
-                **(
-                    {"mapping_rays_per_sec_pallas_gather": round(rays_per_sec_pg, 1)}
-                    if rays_per_sec_pg
                     else {}
                 ),
                 "amortized_fps": round(amortized_fps, 2),

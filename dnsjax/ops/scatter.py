@@ -320,6 +320,13 @@ def dense_matmul_scatter(
         use_pallas
         and F <= _LANES
         and _LANES % F == 0
+        # P = lanes/F table rows packed per VMEM row. P=64 (F=2, the
+        # reference-style narrow-feature grids) lowers to a Mosaic kernel
+        # whose scoped-VMEM stack exceeds the 16 MB limit on real TPU
+        # (measured 2026-08-18: 17.32M requested, synthetic-scene profile
+        # 8 levels x 8192 rows x 2 feats) — and only the F=8 TPU profile
+        # was ever measured profitable. Gate to the measured family.
+        and P <= 16
         and R % max(P, 1) == 0
         and packed_rows_chk % 8 == 0
         # windows must tile the packed rows exactly (any power-of-two table
