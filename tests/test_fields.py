@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -196,6 +197,7 @@ def test_tet_position_gradient_matches_fd(rng):
         np.testing.assert_allclose(grad[k], fd, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_stochastic_level_backward_unbiased(rng):
     """grad_levels=1 scatter expectation == exact per-level scatter."""
     exact_spec = HashGridSpec(4, 2, 8, 4, 32, grad_corners=8)
@@ -213,6 +215,7 @@ def test_stochastic_level_backward_unbiased(rng):
     np.testing.assert_allclose(gs, ge, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_tet_stochastic_corner_unbiased(rng):
     exact_spec = HashGridSpec(2, 2, 8, 4, 16, interp="tet", grad_corners=4)
     sto_spec = HashGridSpec(2, 2, 8, 4, 16, interp="tet", grad_corners=1)
@@ -251,6 +254,7 @@ def test_oneblob_quartic_gradients_finite(rng):
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_pallas_scatter_backward_matches_xla(rng):
     """The dense matmul-scatter table gradient equals the XLA scatter
     gradient (split mode ~f32-exact; bf16 mode to quantization tolerance),
@@ -289,6 +293,7 @@ def test_pallas_scatter_backward_matches_xla(rng):
         assert abs(err.mean()) < 5e-5 * scale, f"grad_corners={gc}"
 
 
+@pytest.mark.slow
 def test_pallas_scatter_fallback_big_table(rng):
     """Tables too big for VMEM silently fall back to the XLA scatter."""
     pts = jnp.asarray(rng.uniform(size=(500, 3)).astype(np.float32))
@@ -311,6 +316,7 @@ def test_pallas_scatter_fallback_big_table(rng):
     )
 
 
+@pytest.mark.slow
 def test_pallas_gather_forward_matches_xla(rng):
     """The fused matmul-gather forward reproduces the gather_bf16 XLA path
     (bf16 rows, f32 weights) to summation-order tolerance, for both interp
@@ -332,6 +338,7 @@ def test_pallas_gather_forward_matches_xla(rng):
         )
 
 
+@pytest.mark.slow
 def test_pallas_gather_gradients_match_xla(rng):
     """Table AND position gradients through the pallas-gather forward match
     the XLA path (the kernel's per-corner feats residual must be the same

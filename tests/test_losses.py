@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 import torch
@@ -113,6 +114,7 @@ def test_freespace_opacity_matches_reference_semantics(rng):
     np.testing.assert_allclose(float(op), want_op, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_freespace_opacity_ray_mask(rng):
     N, S = 10, 8
     z = np.sort(rng.uniform(0.1, 5, size=(N, S)).astype(np.float32), -1)

@@ -231,6 +231,7 @@ def test_hierarchical_query_matches_dense():
     assert agree > 0.99, f"label agreement {agree}"
 
 
+@pytest.mark.slow
 def test_fused_view_rows_match_unfused():
     """The fused [feats|depth|label] single-row query equals the separate
     full-res gathers when depth/label are bf16-exact and constant per
@@ -322,6 +323,7 @@ def test_fused_view_rows_match_unfused():
         assert agree > 0.25, f"label agreement {agree} at chance level"
 
 
+@pytest.mark.slow
 def test_view_skip_is_exact():
     """The conservative per-chunk keyframe frustum skip (tpu.mesh_view_skip)
     must be bit-exact: a skipped view is one where no chunk point passes the

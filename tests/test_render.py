@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -20,6 +21,7 @@ def test_sample_along_rays_shapes_and_ordering():
     assert np.all(zn[np.asarray(depth) > 0] > 0)
 
 
+@pytest.mark.slow
 def test_z_merge_backend_bit_identical():
     """The sort-free merge backend (render/sampling.Z_BACKEND="merge") must
     produce BIT-identical z arrays to jnp.sort — including zero-depth rays
