@@ -49,6 +49,53 @@ def _draw(ax, est, gt, mesh_pts, idx, title=None):
     ax.set_title(title or f"frame {idx}")
 
 
+def _serve(out, port, interval):
+    """Serve <out>/live.png on localhost with an auto-refreshing page.
+
+    The headless-TPU stand-in for the reference's interactive open3d
+    window (utils/viz.py:14-209): point a browser at
+    http://localhost:<port>/ while the SLAM run and the --live monitor
+    are going. stdlib-only; returns the server (daemon thread started).
+    """
+    import http.server
+    import threading
+
+    page = (
+        "<!doctype html><title>dnsjax live</title>"
+        "<body style='margin:0;background:#111'>"
+        "<img id=v src='/live.png' style='max-width:100vw;max-height:100vh'>"
+        "<script>setInterval(()=>{v.src='/live.png?'+Date.now()},"
+        f"{int(interval * 1000)})</script>"
+    )
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.split("?")[0] == "/live.png":
+                try:
+                    with open(os.path.join(out, "live.png"), "rb") as f:
+                        body = f.read()
+                    ctype = "image/png"
+                except OSError:
+                    self.send_error(404, "no live.png yet")
+                    return
+            else:
+                body, ctype = page.encode(), "text/html"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    print(f"live view: http://127.0.0.1:{srv.server_address[1]}/")
+    return srv
+
+
 def _live(out, interval, idle_timeout):
     """Tail metrics.jsonl and keep <out>/live.png current."""
     import numpy as np
@@ -121,6 +168,10 @@ def main(argv=None):
                         help="--live poll period (s)")
     parser.add_argument("--idle-timeout", type=float, default=120.0,
                         help="--live stops after this long with no new data")
+    parser.add_argument("--serve", type=int, default=None, metavar="PORT",
+                        help="with --live: also serve an auto-refreshing "
+                        "view of live.png at http://127.0.0.1:PORT/ "
+                        "(0 = pick a free port)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -141,7 +192,14 @@ def main(argv=None):
     )
 
     if args.live:
-        _live(out, args.interval, args.idle_timeout)
+        srv = None
+        if args.serve is not None:
+            srv = _serve(out, args.serve, args.interval)
+        try:
+            _live(out, args.interval, args.idle_timeout)
+        finally:
+            if srv is not None:
+                srv.shutdown()
         return
 
     ckpt = load_checkpoint(args.checkpoint or os.path.join(out, "model.npz"))

@@ -107,12 +107,17 @@ def main():
     run = scan_sink(enc_bwd)
     timed("hash_encode fwd+bwd", run, table, p01)
 
-    # 3. pos_encode (oneblob + hash) fwd
+    # 3. oneblob half of pos_encode, fwd. Only the perturbed pe output is
+    # summed so DCE drops the grid half (measured separately above). NOTE:
+    # an earlier version also summed an UNPERTURBED grid term assuming XLA
+    # would hoist it out of the scan — it does not reliably, which made
+    # this slice read ~2.8 ms/iter of grid work misattributed to the
+    # oneblob (isolated oneblob at this shape is ~0 ms, old and flat
+    # formulations alike).
     run = scan_sink(
         lambda k, pr, p: jnp.sum(pos_encode(pr, p + k[0] * 0.0, spec)[0] ** 2)
-        + jnp.sum(pos_encode(pr, p, spec)[1] ** 2)
     )
-    timed("pos_encode fwd", run, params, p01)
+    timed("pos_encode oneblob fwd", run, params, p01)
 
     # 4. render_fine fwd
     def rf(pr, pts_):

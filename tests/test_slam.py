@@ -717,6 +717,35 @@ def test_live_visualizer_follows_metrics(tmp_path):
     assert (tmp_path / "live.png").exists()
 
 
+def test_live_visualizer_serve(tmp_path):
+    """--serve: the stdlib HTTP viewer returns the auto-refresh page and
+    the current live.png, 404s before the first frame, and shuts down."""
+    import urllib.error
+    import urllib.request
+
+    from dnsjax.cli.visualizer import _serve
+
+    out = str(tmp_path)
+    srv = _serve(out, port=0, interval=0.5)
+    port = srv.server_address[1]
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=5).read().decode()
+        assert "live.png" in page
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/live.png", timeout=5)
+            assert False, "expected 404 before live.png exists"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        (tmp_path / "live.png").write_bytes(b"\x89PNG fake")
+        got = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/live.png?123", timeout=5).read()
+        assert got == b"\x89PNG fake"
+    finally:
+        srv.shutdown()
+
+
 def test_tracking_retry_on_loss_outlier():
     """When a frame's best loss is an outlier vs recent history, the driver
     re-tracks from the raw previous pose and logs retried=true; with a
