@@ -124,6 +124,7 @@ class DNSSLAM:
             patience=int(tr.get("patience", 0)),
             method=str(tr.get("method", "adam")),
             lm_iters=int(tr.get("lm_iters", 10)),
+            lm_patience=int(tr.get("lm_patience", 0)),
             lm_lambda0=float(tr.get("lm_lambda0", 1e-3)),
             lambda_p=float(trn["lambda_color"]), lambda_d=float(trn["lambda_depth"]),
             lambda_l=float(trn["lambda_label"]),

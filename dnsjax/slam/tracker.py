@@ -79,6 +79,11 @@ class TrackConfig:
     # gated (scripts/ab_quality.py) before becoming a profile default.
     method: str = "adam"
     lm_iters: int = 10
+    # Early exit for the LM path, same candidate semantics as `patience`:
+    # stop once the min-loss candidate hasn't improved for lm_patience
+    # consecutive iterations (0 = always run all lm_iters). Converged
+    # frames skip the remaining linearizations via lax.while_loop.
+    lm_patience: int = 0
     lm_lambda0: float = 1e-3   # initial LM damping (scaled by diag(JtJ))
     lm_up: float = 5.0         # damping multiplier on a rejected step
     lm_down: float = 0.5       # damping multiplier on an accepted step
@@ -413,15 +418,39 @@ def make_track_fn(
                 jnp.where(accept, lam * cfg.lm_down, lam * cfg.lm_up),
                 1e-7, 1e7,
             )
-            return (qt, lam, best_loss, best_qt, best_pd), loss
+            return (qt, lam, best_loss, best_qt, best_pd), loss, better
 
         qt0 = (quad0, T0)
         keys = jax.random.split(key, cfg.lm_iters + 1)
         init = (qt0, jnp.asarray(cfg.lm_lambda0, jnp.float32),
                 jnp.inf, qt0, (jnp.inf, jnp.inf))
-        (qt, _, best_loss, best_qt, best_pd), losses = jax.lax.scan(
-            lm_iter, init, keys[:-1]
-        )
+        if cfg.lm_patience <= 0:
+            def scan_step(carry, k):
+                carry, loss, _ = lm_iter(carry, k)
+                return carry, loss
+
+            (qt, _, best_loss, best_qt, best_pd), losses = jax.lax.scan(
+                scan_step, init, keys[:-1]
+            )
+            n_done = jnp.asarray(cfg.lm_iters)
+        else:
+            # same early-exit semantics as the Adam path's `patience`:
+            # stop once the min-loss candidate stops improving
+            def cond(state):
+                it, since, _ = state
+                return (it < cfg.lm_iters) & (since < cfg.lm_patience)
+
+            def body(state):
+                it, since, carry = state
+                carry, _, better = lm_iter(carry, keys[it])
+                since = jnp.where(better, 0, since + 1)
+                return (it + 1, since, carry)
+
+            it, _, (qt, _, best_loss, best_qt, best_pd) = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0), jnp.asarray(0), init)
+            )
+            losses = jnp.full((cfg.lm_iters,), jnp.nan)
+            n_done = it
 
         # the final accepted pose was never loss-evaluated inside the scan;
         # give it a shot at the candidate slot
@@ -437,7 +466,7 @@ def make_track_fn(
 
         best_quad, best_T = best_qt
         return best_quad, best_T, _metrics(
-            best_qt, best_loss, best_pd, losses, jnp.asarray(cfg.lm_iters)
+            best_qt, best_loss, best_pd, losses, n_done
         )
 
     track_impl = track_body_lm if cfg.method == "lm" else track_body

@@ -143,6 +143,14 @@ VARIANTS = {
         training=dict(smooth_every=4),
         tracking=dict(method="lm", lm_iters=10),
     ),
+    # lm-track + candidate-patience early exit (tracker.lm_patience)
+    "lm-track-pat": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=3),
+    ),
 }
 
 

@@ -197,6 +197,55 @@ def test_tracking_lm_recovers_perturbed_pose(slam_gt_camera):
     assert pk.shape == (10,) and np.isfinite(pk).all()
 
 
+def test_tracking_lm_patience(slam_gt_camera):
+    """lm_patience early exit: with patience >= lm_iters the while_loop
+    path must reproduce the scan path's pose exactly; with a small
+    patience it must stop early (n_iters_run < lm_iters) and still
+    recover the perturbed pose."""
+    import dataclasses
+
+    slam = slam_gt_camera
+    ds = slam.dataset
+    f = slam._frame_to_device(ds[4])
+    gt = np.asarray(f["c2w"])
+
+    t7 = np.asarray(tensor_from_camera(jnp.asarray(gt)))
+    pert = t7.copy()
+    pert[4:] += np.array([0.05, -0.04, 0.03], np.float32)
+    pert[1:4] += np.array([0.02, -0.015, 0.01], np.float32)
+
+    from dnsjax.slam.tracker import make_track_fn
+
+    feats = slam._encode(
+        slam.enc_params, jnp.stack([jnp.asarray(ds[3]["color"]), f["color"]], 0)
+    )
+    refer_w2c = jnp.asarray(np.linalg.inv(ds[3]["c2w"]).astype(np.float32))
+    args = (slam.params, feats, refer_w2c, f["color"], f["depth"], f["label"],
+            jnp.asarray(pert[:4]), jnp.asarray(pert[4:]),
+            slam.bound_j, jax.random.PRNGKey(5))
+
+    outs = {}
+    for pat in (0, 8, 2):
+        tcfg = dataclasses.replace(
+            slam.track_cfg, method="lm", lm_iters=8, lm_patience=pat
+        )
+        quad, T, metrics = make_track_fn(slam.spec, tcfg, slam.compute_dtype)(
+            *args
+        )
+        outs[pat] = (
+            np.concatenate([np.asarray(quad), np.asarray(T)]),
+            int(metrics["n_iters_run"]),
+        )
+
+    # never-triggering patience == exact scan-path trajectory
+    np.testing.assert_allclose(outs[8][0], outs[0][0], rtol=0, atol=1e-6)
+    assert outs[8][1] <= 8
+    # tight patience exits early and still improves the pose clearly
+    err_before = np.abs(t7 - pert).mean()
+    err_after = np.abs(t7 - outs[2][0]).mean()
+    assert err_after < err_before * 0.85, (err_before, err_after)
+
+
 def test_driver_full_tracking_small():
     """Full tracking+mapping run; poses must stay close to GT."""
     cfg = synthetic_slam_config(n_frames=8, n_iters_track=20, n_iters_map=30)
