@@ -241,6 +241,7 @@ def main():
         tcfg_lm = _dc.replace(
             tcfg, method="lm",
             lm_iters=int(cfg.get("tracking", {}).get("lm_iters", 10)),
+            lm_patience=int(cfg.get("tracking", {}).get("lm_patience", 0)),
         )
         track_fn_lm = make_track_fn(spec, tcfg_lm)
         o = track_fn_lm(params, tfeats, w2c0, colors[0], depths[0],

@@ -151,10 +151,40 @@ VARIANTS = {
         training=dict(smooth_every=4),
         tracking=dict(method="lm", lm_iters=10, lm_patience=3),
     ),
+    # keystep-schedule deviations on the full adopted profile: the amortized
+    # SLAM FPS is keystep-dominated (BASELINE.md), so halving keystep
+    # iterations (m50) and/or keystep frequency (map10) are the remaining
+    # end-to-end levers — IF map quality holds. Reference schedule:
+    # n_iters=100 every 5 frames (configs/replica/replica.yaml:38-47).
+    "m50": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4),
+        tracking=dict(method="lm", lm_iters=10),
+        mapping=dict(n_iters=50),
+    ),
+    "map10": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4),
+        tracking=dict(method="lm", lm_iters=10),
+        mapping=dict(optimize_every_n_frames=10),
+    ),
+    "m50-map10": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4),
+        tracking=dict(method="lm", lm_iters=10),
+        mapping=dict(n_iters=50, optimize_every_n_frames=10),
+    ),
 }
 
 
-def run_variant(name, overrides, frames, small, eval_every, seed=0):
+def run_variant(name, overrides, frames, small, eval_every, seed=0,
+                protocol="kf"):
     import jax
     import jax.numpy as jnp
 
@@ -200,16 +230,33 @@ def run_variant(name, overrides, frames, small, eval_every, seed=0):
         slam.map_cfg.n_samples, slam.map_cfg.n_surface,
         compute_dtype=slam.compute_dtype,
     )
+    # Reference-view protocol for the 2D feature pathway:
+    #   "kf"   (default) — condition on the 3 keyframe views nearest by
+    #          camera position, exactly like cli/eval_2d.py. Leak-free:
+    #          the evaluated frame's own image never feeds its own
+    #          reconstruction (VERDICT r2 weak #4).
+    #   "self" — legacy protocol (rows recorded before 2026-08-18):
+    #          self-conditioned, optimistic PSNR/mIoU. Kept only so old
+    #          table rows remain reproducible.
+    kf = slam.keyframes
+    kf_pos = np.asarray(kf.est_c2w[: kf.count, :3, 3])
     psnrs, dl1s, mious = [], [], []
     for idx in range(4, frames, eval_every):
         f = ds[idx]
         c2w = jnp.asarray(est[idx])
-        feats = encode_images(
-            slam.enc_params, jnp.asarray(f["color"])[None].repeat(3, 0)
-        )
+        if protocol == "kf" and kf.count > 0:
+            d = np.linalg.norm(kf_pos - np.asarray(est[idx])[:3, 3], axis=-1)
+            near = list(np.argsort(d)[:3])
+            near = (near + [near[-1]] * 3)[:3]
+            refer_c2w = kf.est_c2w[jnp.asarray(near)]
+            refer_imgs = kf.colors[jnp.asarray(near)]
+        else:
+            refer_c2w = jnp.stack([c2w, c2w, c2w])
+            refer_imgs = jnp.asarray(f["color"])[None].repeat(3, 0)
+        feats = encode_images(slam.enc_params, refer_imgs)
         color, depth, logits = renderer(
             slam.params, c2w, jnp.asarray(f["depth"]), jnp.asarray(f["label"]),
-            invert_se3(jnp.stack([c2w, c2w, c2w])), feats, slam.bound_j,
+            invert_se3(refer_c2w), feats, slam.bound_j,
             jax.random.PRNGKey(idx),
         )
         color, depth = np.asarray(color), np.asarray(depth)
@@ -241,12 +288,25 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--seeds", type=str, default="0",
                     help="comma list; seed s>0 results stored as name@s<s>")
+    ap.add_argument("--report-only", action="store_true",
+                    help="regenerate AB_QUALITY.md from ab_quality.json "
+                         "without running anything")
+    ap.add_argument("--protocol", choices=["kf", "self"], default="kf",
+                    help="reference-view protocol for the eval renders: "
+                         "kf = 3 nearest keyframe views (leak-free, rows "
+                         "tagged @kf), self = legacy self-conditioned")
     args = ap.parse_args()
+
+    if args.report_only:
+        with open("ab_quality.json") as f:
+            results = json.load(f)
+        write_report(results)
+        return
 
     if args.one:
         r = run_variant(
             args.one, VARIANTS[args.one], args.frames, args.small,
-            args.eval_every, seed=args.seed,
+            args.eval_every, seed=args.seed, protocol=args.protocol,
         )
         print("ABRESULT " + json.dumps(r), flush=True)
         return
@@ -271,11 +331,16 @@ def main():
             # smoke rows must be visibly distinct: a --small sweep merges
             # into the same ab_quality.json as the full-shape gate runs
             key += "@small"
+        if args.protocol == "kf":
+            # leak-free rows are a different measurement protocol than the
+            # pre-2026-08-18 self-conditioned rows — tag so the report
+            # gates them against the matching parity anchor
+            key += "@kf"
         print(f"== {key} ==", flush=True)
         cmd = [
             sys.executable, os.path.abspath(__file__), "--one", name,
             "--frames", str(args.frames), "--eval-every", str(args.eval_every),
-            "--seed", str(seed),
+            "--seed", str(seed), "--protocol", args.protocol,
         ] + (["--small"] if args.small else [])
         for attempt in range(2):
             p = subprocess.run(cmd, capture_output=True, text=True)
@@ -298,7 +363,10 @@ def main():
         with open("ab_quality.json", "w") as f:
             json.dump(results, f, indent=1)
 
-    ref = results.get("parity")
+    write_report(results)
+
+
+def write_report(results):
     lines = [
         "# A/B quality gate — TPU-profile deviations vs reference-parity",
         "",
@@ -306,14 +374,20 @@ def main():
         "30 classes, full tracking+mapping+BA).",
         "Rows tagged `@small` ran the 170x300/8-frame CPU smoke shape —",
         "preliminary signal only, not gate-authoritative.",
-        "Gate: every metric within 5% of `parity` (BASELINE.json criterion);",
+        "Rows tagged `@kf` use the leak-free eval protocol (renders",
+        "conditioned on the 3 nearest keyframe views, like cli/eval_2d.py)",
+        "and gate against `parity@kf`; untagged rows are the legacy",
+        "self-conditioned protocol and gate against `parity`.",
+        "Gate: every metric within 5% of parity (BASELINE.json criterion);",
         "higher-is-better for psnr/miou, lower-is-better for ate/depth_l1.",
         "",
         "| variant | ATE RMSE (m) | PSNR (dB) | depth L1 (cm) | mIoU | wall (s) | pass |",
         "|---|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
-        if ref is None or name == "parity" or name.endswith("@small"):
+        ref = results.get("parity@kf" if name.endswith("@kf") else "parity")
+        if (ref is None or name in ("parity", "parity@kf")
+                or "@small" in name):
             # @small rows ran a different shape than the parity reference —
             # they cannot legitimately pass or fail the gate
             ok = "—"
@@ -373,6 +447,7 @@ def main():
         if manual:
             f.write("\n" + manual)
     print("\n".join(lines))
+
 
 
 if __name__ == "__main__":
