@@ -261,9 +261,11 @@ def main():
               file=_sys.stderr)
 
     # ---- mesh query ----------------------------------------------------------
+    # NOTE: must not shadow ``cfg`` — tracking.method/mapping schedule are
+    # read from the loaded config stack below for the amortized number.
     from dnsjax.mesh.mesher import Mesher
 
-    cfg = {
+    mesh_cfg = {
         "meshing": {"resolution": 256, "points_batch_size": 131072,
                     "level_set": 0.0, "clean_mesh": False},
         "back_end": {
@@ -272,7 +274,7 @@ def main():
         },
         "tpu": {"feature_taps": feature_taps},
     }
-    mesher = Mesher(cfg, dict(H=H, W=W, fx=fx, fy=fx, cx=cx, cy=cy),
+    mesher = Mesher(mesh_cfg, dict(H=H, W=W, fx=fx, fy=fx, cx=cx, cy=cy),
                     np.asarray(bound), spec, jnp.bfloat16)
     B, K = 131072, 16
     pts = jnp.asarray(rng.uniform(-2.0, 3.0, size=(B, 3)).astype(np.float32))
@@ -355,6 +357,22 @@ def main():
     cyc = 5
     amortized_fps = cyc / (cyc * prod_track_s + keystep_s)
 
+    # Production-SCHEDULE amortized FPS: if a quality-gated keystep schedule
+    # is adopted in the config stack (mapping.n_iters < 100 and/or
+    # optimize_every_n_frames > 5, gated by the m50/map10 ab_quality
+    # variants), scale the measured 100-iter keystep to the adopted
+    # iteration count (the scan cost is linear in iterations — the compiled
+    # per-iter program is identical) and use the adopted cadence. Reported
+    # only when it differs from the reference schedule above.
+    mp = cfg.get("mapping", {})
+    prod_iters = int(mp.get("n_iters", N_ITERS))
+    prod_cyc = int(mp.get("optimize_every_n_frames", cyc))
+    amortized_fps_prod = None
+    if (prod_iters, prod_cyc) != (N_ITERS, cyc):
+        prod_keystep_s = keystep_s * prod_iters / N_ITERS
+        amortized_fps_prod = prod_cyc / (prod_cyc * prod_track_s
+                                         + prod_keystep_s)
+
     print(
         json.dumps(
             {
@@ -381,6 +399,11 @@ def main():
                     else {}
                 ),
                 "amortized_fps": round(amortized_fps, 2),
+                **(
+                    {"amortized_fps_prod_schedule": round(amortized_fps_prod, 2)}
+                    if amortized_fps_prod
+                    else {}
+                ),
             }
         )
     )
