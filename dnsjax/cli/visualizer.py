@@ -114,10 +114,13 @@ def _live(out, interval, idle_timeout):
     while True:
         new = 0
         if os.path.exists(path):
-            with open(path) as f:
+            # binary mode: ``pos`` must count BYTES — a text-mode len(line)
+            # counts characters and diverges on any non-ASCII event field,
+            # landing every later seek mid-line
+            with open(path, "rb") as f:
                 f.seek(pos)
                 for line in f:
-                    if not line.endswith("\n"):
+                    if not line.endswith(b"\n"):
                         break  # partial write; re-read next poll
                     pos += len(line)
                     try:

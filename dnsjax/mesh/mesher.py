@@ -96,6 +96,19 @@ class Mesher:
         self.fuse_rows = bool(
             cfg.get("tpu", {}).get("mesh_fused_rows", self.feature_taps == 1)
         )
+        if self.fuse_rows and self.feature_taps != 1:
+            # the fused map holds ONE row per view-point (nearest tap); it
+            # cannot honor multi-tap bilinear feature sampling — fall back
+            # to the reference-exact separate gathers instead of silently
+            # downgrading the taps=4 profile to nearest
+            import warnings
+
+            warnings.warn(
+                "tpu.mesh_fused_rows=true requires tpu.feature_taps=1 "
+                f"(got {self.feature_taps}); using separate full-res "
+                "gathers instead", stacklevel=2,
+            )
+            self.fuse_rows = False
         # view skip: per chunk, skip keyframes whose frustum provably sees
         # no chunk point (separating-half-space test on the chunk's AABB
         # corners — conservative, so the skip is EXACT: every per-view
@@ -598,12 +611,9 @@ class Mesher:
         fc = np.interp(np.arange(r), ax, np.arange(m))
         i0 = np.minimum(fc.astype(np.int64), m - 2)
         w1 = fc - i0
-        occ = np.zeros((r, r, r), np.float32)
-        seen = np.zeros((r, r, r), np.float32)
         cs3 = cs.reshape(m, m, m)
 
         def trilerp(src):
-            a = src[i0][:, i0][:, :, i0]
             out = np.zeros((r, r, r), np.float32)
             for di in (0, 1):
                 wi = (w1 if di else 1 - w1)[:, None, None]

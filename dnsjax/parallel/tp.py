@@ -61,6 +61,16 @@ def hash_encode_tp(
       axis: mesh axis name the table rows are sharded over.
     Returns:
       (..., L*F) features, identical on every shard (psum'd).
+
+    GRADIENT CAVEAT: take gradients INSIDE the shard_map body (as
+    make_map_fn_dp_tp does — loss and grad computed per shard, then
+    combined). Differentiating *through* a shard_map boundary built with
+    ``check_vma=False`` silently scales the table cotangent by 1/n_shards:
+    the psum'd replicated output's incoming cotangent is split across
+    shards instead of replicated, and with the varying-manual-axes check
+    disabled nothing detects it (verified on a 2-device CPU mesh: outer
+    grad = 0.5x the true gradient). With ``check_vma=True`` (default)
+    JAX handles the replication correctly.
     """
     out, _ = _tp_fwd(table_local, pts, spec, axis)
     return out

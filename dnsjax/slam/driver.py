@@ -586,10 +586,13 @@ class DNSSLAM:
         self._track_params = self.params
         t_block = time.perf_counter() - t0
         self.map_times.append(p["t_dispatch"] + t_block)
-        # ONE packed fetch for the logged scalars (tunnel roundtrips)
+        # ONE packed fetch for the logged scalars (tunnel roundtrips).
+        # NOTE: dict.get would build (and dispatch) the fallback stack even
+        # when "packed" exists — guard explicitly.
         pk = np.asarray(
-            aux.get("packed", jnp.stack([aux["p_loss"], aux["d_loss"],
-                                         aux["l_loss"], aux["lt_loss"]])),
+            aux["packed"] if "packed" in aux
+            else jnp.stack([aux["p_loss"], aux["d_loss"],
+                            aux["l_loss"], aux["lt_loss"]]),
             np.float64,
         )
         p_loss, d_loss, l_loss, lt_loss = (float(v) for v in pk[:4])
@@ -931,10 +934,12 @@ class DNSSLAM:
         last_mapped = start - 1
         for idx in range(start, n):
             cur = self._frame_to_device(self.dataset[idx])
-            self.gt_c2w[idx] = np.asarray(cur["c2w"])
+            # host copy, NOT np.asarray(cur["c2w"]): the pose never left the
+            # host, and a device fetch is a full tunnel roundtrip per frame
+            self.gt_c2w[idx] = cur["c2w_np"]
 
             if idx <= 1 or self.use_gt_camera:
-                self.estimate_c2w[idx] = np.asarray(cur["c2w"])
+                self.estimate_c2w[idx] = cur["c2w_np"]
                 if self._refer_color is None:
                     self._refer_w2c = jnp.asarray(
                         np.linalg.inv(self.estimate_c2w[idx]).astype(np.float32)

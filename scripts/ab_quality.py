@@ -28,42 +28,57 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _TPU_GRID = dict(n_levels=4, level_dim=8, grad_corners=1, gather_bf16=True,
                  interp="trilinear", grad_levels=0, scatter="xla")
 
+# TPU-profile tracking as of its adoption era: reference Adam schedule with
+# the candidate-patience early exit (the non-LM variants below were recorded
+# under this operating point). Pinned explicitly for the same reason as
+# pos.kernel/smooth_every: configs/slam.yaml now DEFAULTS to tracking.method
+# lm, and a variant that omitted the tracking section would silently measure
+# the LM tracker instead of what its name says.
+_ADAM_TRACK = dict(method="adam", patience=10)
+
 VARIANTS = {
     # name -> {config section -> overrides}; sections: grid (model.grid),
-    # tpu, pos (model.pos), training.
-    # NOTE: every variant pins pos.kernel and training.smooth_every
-    # explicitly — configs/slam.yaml now DEFAULTS to the adopted
-    # quartic/sm4 bundle, so a variant that omitted them would silently
-    # inherit it and stop measuring what its name says.
+    # tpu, pos (model.pos), training, tracking, mapping.
+    # NOTE: every variant pins pos.kernel, training.smooth_every AND
+    # tracking.method explicitly — configs/slam.yaml now DEFAULTS to the
+    # adopted quartic/sm4/lm bundle, so a variant that omitted them would
+    # silently inherit it and stop measuring what its name says.
     "parity": dict(
         grid=dict(n_levels=16, level_dim=2, grad_corners=8, gather_bf16=False,
                   interp="trilinear", grad_levels=0, scatter="xla"),
         tpu=dict(compute_dtype="float32", feature_taps=4),
         pos=dict(kernel="gaussian"),
         training=dict(smooth_every=1),
+        # reference-exact schedule: 50 Adam iters, no early exit
+        tracking=dict(method="adam", patience=0),
         # ~0.9 s/iter at this shape: a 100-iter single dispatch exceeds the
         # remote worker's tolerance and kills it (bisected by
         # scripts/probe_parity.py); bound dispatches to 25 iterations —
         # mathematically identical trajectory (mapper.make_map_fn chunk)
         mapping=dict(max_iters_per_dispatch=25),
     ),
-    "r1-tpu": dict(grid=dict(_TPU_GRID), tpu=dict(feature_taps=1),
+    "r1-tpu": dict(
+        tracking=dict(_ADAM_TRACK),grid=dict(_TPU_GRID), tpu=dict(feature_taps=1),
                    pos=dict(kernel="gaussian"), training=dict(smooth_every=1)),
     "tet4x8": dict(
+        tracking=dict(_ADAM_TRACK),
         grid=dict(_TPU_GRID, interp="tet"), tpu=dict(feature_taps=1),
         pos=dict(kernel="gaussian"), training=dict(smooth_every=1),
     ),
     "tet4x8-gl1": dict(
+        tracking=dict(_ADAM_TRACK),
         grid=dict(_TPU_GRID, interp="tet", grad_levels=1),
         tpu=dict(feature_taps=1),
         pos=dict(kernel="gaussian"), training=dict(smooth_every=1),
     ),
     "tet2x16": dict(
+        tracking=dict(_ADAM_TRACK),
         grid=dict(_TPU_GRID, n_levels=2, level_dim=16, interp="tet"),
         tpu=dict(feature_taps=1),
         pos=dict(kernel="gaussian"), training=dict(smooth_every=1),
     ),
     "tet2x16-gl1": dict(
+        tracking=dict(_ADAM_TRACK),
         grid=dict(_TPU_GRID, n_levels=2, level_dim=16, interp="tet",
                   grad_levels=1),
         tpu=dict(feature_taps=1),
@@ -72,12 +87,14 @@ VARIANTS = {
     # encoder axis: round-1's seeded-random conv1 vs the procedural Gabor
     # bank (models/encoder.py), on the round-1 grid profile
     "r1-tpu-randenc": dict(
+        tracking=dict(_ADAM_TRACK),
         grid=dict(_TPU_GRID), tpu=dict(feature_taps=1, encoder_init="random"),
         pos=dict(kernel="gaussian"), training=dict(smooth_every=1),
     ),
     # quartic OneBlob (tcnn's own kernel) + strided smoothness on the tet
     # profile — the round-2 candidate default
     "tet4x8-quartic-sm4": dict(
+        tracking=dict(_ADAM_TRACK),
         grid=dict(_TPU_GRID, interp="tet"),
         tpu=dict(feature_taps=1),
         pos=dict(kernel="quartic"),
@@ -85,12 +102,14 @@ VARIANTS = {
     ),
     # attribution singles for the bundle above
     "tet4x8-quartic": dict(
+        tracking=dict(_ADAM_TRACK),
         grid=dict(_TPU_GRID, interp="tet"),
         tpu=dict(feature_taps=1),
         pos=dict(kernel="quartic"),
         training=dict(smooth_every=1),
     ),
     "tet4x8-sm4": dict(
+        tracking=dict(_ADAM_TRACK),
         grid=dict(_TPU_GRID, interp="tet"),
         tpu=dict(feature_taps=1),
         pos=dict(kernel="gaussian"),
@@ -100,6 +119,7 @@ VARIANTS = {
     # one-hot matmul quantizes contributions to bf16 — gate that the
     # training trajectory holds up at full shape
     "tet4x8-quartic-sm4-scpallas": dict(
+        tracking=dict(_ADAM_TRACK),
         grid=dict(_TPU_GRID, interp="tet", scatter="pallas"),
         tpu=dict(feature_taps=1),
         pos=dict(kernel="quartic"),
@@ -109,6 +129,7 @@ VARIANTS = {
     # 2x matmul cost): isolates whether scpallas's gate failure was the bf16
     # gradient quantization or trajectory noise
     "tet4x8-quartic-sm4-scpallas-split": dict(
+        tracking=dict(_ADAM_TRACK),
         grid=dict(_TPU_GRID, interp="tet", scatter="pallas_split"),
         tpu=dict(feature_taps=1),
         pos=dict(kernel="quartic"),
@@ -118,6 +139,7 @@ VARIANTS = {
     # single-matmul speed (the split run passed its gate decisively, so if
     # this passes too the fast kernel is adoptable)
     "tet4x8-quartic-sm4-scpallas-sr": dict(
+        tracking=dict(_ADAM_TRACK),
         grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
         tpu=dict(feature_taps=1),
         pos=dict(kernel="quartic"),
@@ -126,6 +148,7 @@ VARIANTS = {
     # tet2x16 with the quartic/sm4 bundle: halves encode gather rows again
     # (2 levels x 16 feats) — helps mapping AND tracking if quality holds
     "tet2x16-quartic-sm4": dict(
+        tracking=dict(_ADAM_TRACK),
         grid=dict(_TPU_GRID, n_levels=2, level_dim=16, interp="tet"),
         tpu=dict(feature_taps=1),
         pos=dict(kernel="quartic"),
@@ -141,7 +164,7 @@ VARIANTS = {
         tpu=dict(feature_taps=1),
         pos=dict(kernel="quartic"),
         training=dict(smooth_every=4),
-        tracking=dict(method="lm", lm_iters=10),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=0),
     ),
     # lm-track + candidate-patience early exit (tracker.lm_patience)
     "lm-track-pat": dict(
@@ -161,7 +184,7 @@ VARIANTS = {
         tpu=dict(feature_taps=1),
         pos=dict(kernel="quartic"),
         training=dict(smooth_every=4),
-        tracking=dict(method="lm", lm_iters=10),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=0),
         mapping=dict(n_iters=50),
     ),
     "map10": dict(
@@ -169,7 +192,7 @@ VARIANTS = {
         tpu=dict(feature_taps=1),
         pos=dict(kernel="quartic"),
         training=dict(smooth_every=4),
-        tracking=dict(method="lm", lm_iters=10),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=0),
         mapping=dict(optimize_every_n_frames=10),
     ),
     "m50-map10": dict(
@@ -177,7 +200,7 @@ VARIANTS = {
         tpu=dict(feature_taps=1),
         pos=dict(kernel="quartic"),
         training=dict(smooth_every=4),
-        tracking=dict(method="lm", lm_iters=10),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=0),
         mapping=dict(n_iters=50, optimize_every_n_frames=10),
     ),
 }
