@@ -460,7 +460,8 @@ class DNSSLAM:
             cur_sorted, cur_off = self._cur_sorted
         else:
             cur_sorted, cur_off = class_sorted_pixels(
-                cur.get("label_np", np.asarray(cur["label"])), self.n_class
+                cur["label_np"] if "label_np" in cur
+                else np.asarray(cur["label"]), self.n_class
             )
             self._cur_sorted = (cur_sorted, cur_off)
         sorted_idx = gather(kf.sorted_idx, jnp.asarray(cur_sorted))
@@ -660,7 +661,8 @@ class DNSSLAM:
 
         if self.first_frame_optimized and new_decoders and idx > 50:
             cur_classes = set(
-                np.unique(cur.get("label_np", np.asarray(cur["label"]))).tolist()
+                np.unique(cur["label_np"] if "label_np" in cur
+                          else np.asarray(cur["label"])).tolist()
             )
             warm = [c for c in new_decoders if c in cur_classes]
             if warm:
@@ -814,7 +816,8 @@ class DNSSLAM:
         self.track_times.append(dt)
         if self.verbose:
             gt7 = tensor_from_camera_np(
-                cur.get("c2w_np", np.asarray(cur["c2w"]))
+                cur["c2w_np"] if "c2w_np" in cur
+                else np.asarray(cur["c2w"])
             )
             err = float(np.abs(gt7 - pk[:7]).mean())
             psnr = -10.0 * np.log10(max(p_loss, 1e-12))
