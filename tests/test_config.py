@@ -38,3 +38,24 @@ def test_repo_configs_load():
     assert cfg["dataset"] == "replica"
     assert cfg["model"]["grid"]["method"] == "HashGrid"
     assert "bound" in cfg["back_end"]
+
+
+def test_ab_variants_pin_tracking_method():
+    """Every A/B variant must pin tracking.method (and the gaussian/quartic +
+    smooth_every axes) explicitly: configs/slam.yaml defaults drift as gated
+    deviations are adopted, and a variant that omitted a pinned axis would
+    silently inherit the new default and stop measuring what its name says
+    (this burned the first @kf sweep: the parity anchor inherited the
+    adopted tracking.method=lm)."""
+    import importlib.util
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "abq", os.path.join(root, "scripts", "ab_quality.py")
+    )
+    abq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(abq)
+    for name, overrides in abq.VARIANTS.items():
+        assert "method" in overrides.get("tracking", {}), name
+        assert "kernel" in overrides.get("pos", {}), name
+        assert "smooth_every" in overrides.get("training", {}), name
