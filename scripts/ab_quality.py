@@ -203,6 +203,30 @@ VARIANTS = {
         tracking=dict(method="lm", lm_iters=10, lm_patience=0),
         mapping=dict(n_iters=50, optimize_every_n_frames=10),
     ),
+    # sample-count axis: 16 stratified + 15 surface samples per ray vs the
+    # reference's 32+15 (replica.yaml:28-29). Gather/scatter rows — the
+    # measured cost driver of BOTH mapping and tracking — scale with
+    # samples/ray, so this is ~1.5x on every trained-ray path if the
+    # depth-guided surface samples carry the quality (untried axis: the
+    # level-count reductions that failed the gate attacked rows/POINT, not
+    # points/ray).
+    "ns16": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4, n_samples_ray=16),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=0),
+    ),
+    # the full production-schedule candidate: ns16 + halved keystep
+    # iterations + halved keystep cadence on the adopted lm profile
+    "ns16-m50-map10": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4, n_samples_ray=16),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=0),
+        mapping=dict(n_iters=50, optimize_every_n_frames=10),
+    ),
 }
 
 
