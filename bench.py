@@ -338,6 +338,33 @@ def main():
     # variant REJECTED: 56.6k rays/s through the full keystep vs 84.5k for
     # the XLA gather — AB_QUALITY.md. ops/gather.py stays opt-in.)
 
+    # (b) TPU-saturating batch throughput: the reference trains 2000
+    # rays/iter (replica.yaml:44), a batch size chosen for a 2022 GPU; at
+    # that shape the v5e is latency-bound, not bandwidth/FLOP-bound. Measure
+    # the same keystep at 8000 rays/iter to report the chip's actual
+    # training throughput ceiling. Clearly labeled as a different batch
+    # shape; vs_baseline stays anchored to the reference-shape number above.
+    rays_per_sec_8k = None
+    try:
+        mcfg_8k = _dc.replace(mcfg, n_pixels=8000)
+        map_fn_8k = make_map_fn(spec, mcfg_8k, N_TARGET, N_ITERS)
+        o = map_fn_8k(params, t7[:, :4], t7[:, 4:], window,
+                      jax.random.PRNGKey(1))
+        _ = float(np.asarray(o[3]["losses"])[-1])  # compile + warm
+
+        def run_map_8k():
+            o = map_fn_8k(params, t7[:, :4], t7[:, 4:], window,
+                          jax.random.PRNGKey(ks[0]))
+            ks[0] += 1
+            _ = float(np.asarray(o[3]["losses"])[-1])
+
+        keystep_8k_s = _min3(run_map_8k)
+        rays_8k = (8000 // T // 3 * 2 + 8000 // T // 3) * T
+        rays_per_sec_8k = N_ITERS * rays_8k / keystep_8k_s
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: 8k-ray batch bench failed ({e!r}); continuing",
+              file=_sys.stderr)
+
     # Amortized end-to-end FPS: the honest "real-time SLAM" number — one
     # strict-sync cycle is optimize_every tracked frames plus one keystep
     # (reference: tracking.py:259-263, mapping.py:996-998). On a single
@@ -444,6 +471,11 @@ def main():
                 **(
                     {"tracking_fps_lm": round(tracking_fps_lm, 2)}
                     if tracking_fps_lm
+                    else {}
+                ),
+                **(
+                    {"mapping_rays_per_sec_batch8k": round(rays_per_sec_8k, 1)}
+                    if rays_per_sec_8k
                     else {}
                 ),
                 "mesh_query_mpts_per_sec": round(mesh_mpts, 2),
