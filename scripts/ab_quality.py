@@ -227,6 +227,29 @@ VARIANTS = {
         tracking=dict(method="lm", lm_iters=10, lm_patience=0),
         mapping=dict(n_iters=50, optimize_every_n_frames=10),
     ),
+    # batch-scale axis: SAME ray*iteration sample budget as the adopted
+    # default (2000 x 100), re-shaped to fewer optimizer steps of bigger
+    # ray batches. The reference's 2000 rays/iter (replica.yaml:44) sizes
+    # a 2022 GPU; the TPU keystep at 2000 rays leaves the MXU undersubscribed
+    # (bench.py's 8k-ray extra measures the scaling). Risk axis is purely
+    # optimization: Adam takes half/quarter the steps at 2x/4x lower
+    # gradient noise.
+    "px4k-m50": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=0),
+        mapping=dict(n_pixels=4000, n_iters=50, n_iters_first=250),
+    ),
+    "px8k-m25": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=0),
+        mapping=dict(n_pixels=8000, n_iters=25, n_iters_first=125),
+    ),
 }
 
 
