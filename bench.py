@@ -396,22 +396,26 @@ def main():
     trn_cfg = cfg.get("training", {})
     prod_iters = int(mp.get("n_iters", N_ITERS))
     prod_cyc = int(mp.get("optimize_every_n_frames", cyc))
+    prod_px = int(mp.get("n_pixels", N_PIXELS))
+    prod_tpx = int(cfg.get("tracking", {}).get("n_pixels", 500))
     prod_ns = int(trn_cfg.get("n_samples_ray", N_SAMPLES))
     prod_nsurf = int(trn_cfg.get("n_surface_ray", N_SURFACE))
     amortized_fps_prod = None
     keystep_prod_s = None
     tracking_fps_prod = None
-    if (prod_iters, prod_cyc, prod_ns, prod_nsurf) != (
-        N_ITERS, cyc, N_SAMPLES, N_SURFACE
+    rays_per_sec_prod = None
+    if (prod_iters, prod_cyc, prod_ns, prod_nsurf, prod_px, prod_tpx) != (
+        N_ITERS, cyc, N_SAMPLES, N_SURFACE, N_PIXELS, 500
     ):
         try:
             prod_keystep_s = keystep_s * prod_iters / N_ITERS  # fallback
             prod_track_s_m = prod_track_s
-            if (prod_ns, prod_nsurf) != (N_SAMPLES, N_SURFACE) or (
-                prod_iters != N_ITERS
-            ):
+            if (prod_ns, prod_nsurf, prod_px) != (
+                N_SAMPLES, N_SURFACE, N_PIXELS
+            ) or prod_iters != N_ITERS:
                 mcfg_p = _dc.replace(
-                    mcfg, n_samples=prod_ns, n_surface=prod_nsurf
+                    mcfg, n_samples=prod_ns, n_surface=prod_nsurf,
+                    n_pixels=prod_px,
                 )
                 map_fn_p = make_map_fn(spec, mcfg_p, N_TARGET, prod_iters)
                 o = map_fn_p(params, t7[:, :4], t7[:, 4:], window,
@@ -425,11 +429,14 @@ def main():
                     _ = float(np.asarray(o[3]["losses"])[-1])
 
                 prod_keystep_s = _min3(run_map_p)
-            if (prod_ns, prod_nsurf) != (N_SAMPLES, N_SURFACE):
+            if (prod_ns, prod_nsurf, prod_tpx) != (
+                N_SAMPLES, N_SURFACE, 500
+            ):
                 base_t = tcfg_lm if (method == "lm" and tracking_fps_lm) \
                     else tcfg
                 tcfg_prod = _dc.replace(
                     base_t, n_samples=prod_ns, n_surface=prod_nsurf,
+                    n_pixels=prod_tpx,
                     patience=patience if base_t is tcfg else base_t.patience,
                 )
                 track_fn_prod = make_track_fn(spec, tcfg_prod)
@@ -448,6 +455,8 @@ def main():
                 prod_track_s_m = _min3(run_track_prod)
                 tracking_fps_prod = 1.0 / prod_track_s_m
             keystep_prod_s = prod_keystep_s
+            rays_prod = (prod_px // T // 3 * 2 + prod_px // T // 3) * T
+            rays_per_sec_prod = prod_iters * rays_prod / prod_keystep_s
             amortized_fps_prod = prod_cyc / (prod_cyc * prod_track_s_m
                                              + prod_keystep_s)
         except Exception as e:  # noqa: BLE001
@@ -493,6 +502,11 @@ def main():
                 **(
                     {"keystep_prod_seconds": round(keystep_prod_s, 4)}
                     if keystep_prod_s
+                    else {}
+                ),
+                **(
+                    {"mapping_rays_per_sec_prod": round(rays_per_sec_prod, 1)}
+                    if rays_per_sec_prod
                     else {}
                 ),
                 **(

@@ -248,7 +248,24 @@ VARIANTS = {
         pos=dict(kernel="quartic"),
         training=dict(smooth_every=4),
         tracking=dict(method="lm", lm_iters=10, lm_patience=0),
-        mapping=dict(n_pixels=8000, n_iters=25, n_iters_first=125),
+        # max_iters_per_dispatch pinned: the default n_iters//2 = 12 would
+        # make _chunk_for degrade the 25/125-iter keysteps to 5-iter
+        # dispatches; 25 gives one steady dispatch + 5 first-keystep chunks
+        mapping=dict(n_pixels=8000, n_iters=25, n_iters_first=125,
+                     max_iters_per_dispatch=25),
+    ),
+    # tracking batch-scale: 2000 rays per LM step instead of the
+    # reference's 500 (replica.yaml tracking.pixels). The tracking render
+    # at 500x31 rows badly undersubscribes the chip, so 4x rows should be
+    # near-free wall-clock while quartering the gradient/JtJ noise of the
+    # pose solve — a pure-quality candidate on the ATE axis.
+    "lm-px2k": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=0,
+                      n_pixels=2000),
     ),
 }
 
