@@ -254,6 +254,16 @@ VARIANTS = {
         mapping=dict(n_pixels=8000, n_iters=25, n_iters_first=125,
                      max_iters_per_dispatch=25),
     ),
+    # combined candidate: both budget-preserving throughput axes at once
+    # (gate separately before adopting the pair — axes can interact)
+    "ns16-px4k-m50": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4, n_samples_ray=16),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=0),
+        mapping=dict(n_pixels=4000, n_iters=50, n_iters_first=250),
+    ),
     # tracking batch-scale: 2000 rays per LM step instead of the
     # reference's 500 (replica.yaml tracking.pixels). The tracking render
     # at 500x31 rows badly undersubscribes the chip, so 4x rows should be
