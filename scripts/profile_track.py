@@ -44,7 +44,8 @@ def timed(name, fn, *args):
     return ms
 
 
-def main(interp="trilinear", n_levels=4, level_dim=8, oneblob_kernel="gaussian"):
+def main(interp="trilinear", n_levels=4, level_dim=8, oneblob_kernel="gaussian",
+         n_ray=N_RAY, n_samples=N_SAMPLES, lm_only=False):
     fx = W / 2.0
     cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
     bound = jnp.asarray([[-2.9, 8.9], [-3.2, 5.5], [-3.5, 3.3]])
@@ -57,18 +58,22 @@ def main(interp="trilinear", n_levels=4, level_dim=8, oneblob_kernel="gaussian")
         oneblob_kernel=oneblob_kernel,
     )
     params = init_decoder_params(jax.random.PRNGKey(0), spec)
-    S = N_SAMPLES + N_SURFACE
-    NP_ = N_RAY * S
+    S = n_samples + N_SURFACE
+    NP_ = n_ray * S
     print(f"profile: interp={interp} {n_levels}x{level_dim} "
-          f"oneblob={oneblob_kernel}  rays={N_RAY} pts={NP_}")
+          f"oneblob={oneblob_kernel}  rays={n_ray} pts={NP_}")
 
     key = jax.random.PRNGKey(0)
-    pts = jax.random.uniform(key, (N_RAY, S, 3), minval=-2.0, maxval=2.0)
+    pts = jax.random.uniform(key, (n_ray, S, 3), minval=-2.0, maxval=2.0)
     p01 = jax.random.uniform(key, (NP_, 3))
-    z = jnp.sort(jax.random.uniform(key, (N_RAY, S), minval=0.1, maxval=5.0), -1)
-    rays_d = jax.random.normal(key, (N_RAY, 3))
-    code = jnp.zeros((N_RAY, S, 32))
+    z = jnp.sort(jax.random.uniform(key, (n_ray, S), minval=0.1, maxval=5.0), -1)
+    rays_d = jax.random.normal(key, (n_ray, 3))
+    code = jnp.zeros((n_ray, S, 32))
     keys20 = jax.random.split(key, ITERS)
+
+    if lm_only:
+        _full_frames(spec, bound, fx, cx, cy, n_ray, n_samples, adam=False)
+        return
 
     def scan_sink(body):
         @jax.jit
@@ -129,13 +134,20 @@ def main(interp="trilinear", n_levels=4, level_dim=8, oneblob_kernel="gaussian")
     run = scan_sink(rc_bwd)
     timed("render_coarse fwd+bwd(pts)", run, pts)
 
-    # FULL tracking frame (50 iters, patience off) — ms/frame and FPS
+    _full_frames(spec, bound, fx, cx, cy, n_ray, n_samples, adam=True)
+
+
+def _full_frames(spec, bound, fx, cx, cy, n_ray, n_samples, adam=True):
+    """FULL tracking frames (Adam 50-iter schedule and LM 10-iter) at
+    n_ray x (n_samples + N_SURFACE) — ms/frame and FPS."""
+    import dataclasses
+
+    params = init_decoder_params(jax.random.PRNGKey(0), spec)
     tcfg = TrackConfig(
         H=H, W=W, fx=fx, fy=fx, cx=cx, cy=cy,
-        n_iters=50, n_pixels=N_RAY, n_samples=N_SAMPLES, n_surface=N_SURFACE,
+        n_iters=50, n_pixels=n_ray, n_samples=n_samples, n_surface=N_SURFACE,
         ignore_edge=20, feature_taps=1,
     )
-    track_fn = make_track_fn(spec, tcfg)
     rng = np.random.default_rng(0)
     color = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
     depth = jnp.asarray(rng.uniform(0.5, 5.0, size=(H, W)).astype(np.float32))
@@ -146,38 +158,28 @@ def main(interp="trilinear", n_levels=4, level_dim=8, oneblob_kernel="gaussian")
     efeats = jnp.asarray(
         rng.normal(size=(2, H // 2, W // 2, 64)).astype(np.float32)
     )
-    o = track_fn(params, efeats, jnp.eye(4), color, depth, label,
-                 t7[:4], t7[4:], bound, jax.random.PRNGKey(0))
-    _ = float(o[2]["best_loss"])
-    reps = []
-    for i in range(3):
-        t0 = time.perf_counter()
+
+    def time_frames(track_fn, label_):
         o = track_fn(params, efeats, jnp.eye(4), color, depth, label,
-                     t7[:4], t7[4:], bound, jax.random.PRNGKey(i + 1))
+                     t7[:4], t7[4:], bound, jax.random.PRNGKey(0))
         _ = float(o[2]["best_loss"])
-        reps.append(time.perf_counter() - t0)
-    frame_s = min(reps) - TUNNEL_MS / 1e3
-    print(f"{'FULL track frame (50 iters)':44s} {frame_s * 1e3:8.1f} ms "
-          f"= {1.0 / frame_s:.2f} FPS")
+        reps = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            o = track_fn(params, efeats, jnp.eye(4), color, depth, label,
+                         t7[:4], t7[4:], bound, jax.random.PRNGKey(i + 1))
+            _ = float(o[2]["best_loss"])
+            reps.append(time.perf_counter() - t0)
+        frame_s = min(reps) - TUNNEL_MS / 1e3
+        print(f"{label_:44s} {frame_s * 1e3:8.1f} ms "
+              f"= {1.0 / frame_s:.2f} FPS")
 
-    # FULL LM frame (tracking.method: lm, 10 damped GN iterations)
-    import dataclasses
-
+    if adam:
+        time_frames(make_track_fn(spec, tcfg),
+                    f"FULL track frame (50 iters, {n_ray}px)")
     track_lm = make_track_fn(spec, dataclasses.replace(tcfg, method="lm",
                                                        lm_iters=10))
-    o = track_lm(params, efeats, jnp.eye(4), color, depth, label,
-                 t7[:4], t7[4:], bound, jax.random.PRNGKey(0))
-    _ = float(o[2]["best_loss"])
-    reps = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        o = track_lm(params, efeats, jnp.eye(4), color, depth, label,
-                     t7[:4], t7[4:], bound, jax.random.PRNGKey(i + 1))
-        _ = float(o[2]["best_loss"])
-        reps.append(time.perf_counter() - t0)
-    frame_s = min(reps) - TUNNEL_MS / 1e3
-    print(f"{'FULL LM track frame (10 iters)':44s} {frame_s * 1e3:8.1f} ms "
-          f"= {1.0 / frame_s:.2f} FPS")
+    time_frames(track_lm, f"FULL LM track frame (10 iters, {n_ray}px)")
 
 
 if __name__ == "__main__":
@@ -188,5 +190,13 @@ if __name__ == "__main__":
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--dim", type=int, default=8)
     ap.add_argument("--oneblob", default="gaussian")
+    ap.add_argument("--pixels", type=int, default=N_RAY,
+                    help="tracking rays per iteration (tracking.n_pixels)")
+    ap.add_argument("--samples", type=int, default=N_SAMPLES,
+                    help="stratified samples per ray (n_surface fixed at 15)")
+    ap.add_argument("--lm-only", action="store_true",
+                    help="skip component slices + Adam frame; time only the "
+                         "LM frame (fast adoption measurements)")
     a = ap.parse_args()
-    main(a.interp, a.levels, a.dim, a.oneblob)
+    main(a.interp, a.levels, a.dim, a.oneblob,
+         n_ray=a.pixels, n_samples=a.samples, lm_only=a.lm_only)
