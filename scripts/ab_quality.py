@@ -277,6 +277,18 @@ VARIANTS = {
         tracking=dict(method="lm", lm_iters=10, lm_patience=0,
                       n_pixels=2000),
     ),
+    # intermediate tracking batch: measured TPU walls are row-rate-LINEAR
+    # (lm 500px 15.3 FPS, 2000px 4.23 FPS — profile_track 2026-08-19), so
+    # px2k is NOT free; 1000px (~8 FPS) may buy most of the JtJ-noise ATE
+    # win at a tolerable tracking-speed cost.
+    "lm-px1k": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=0,
+                      n_pixels=1000),
+    ),
 }
 
 

@@ -8,11 +8,15 @@ block_until_ready a no-op and partial fetches pull whole buffers).
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_track.py
 """
 
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dnsjax.models.decoder import (
     DecoderSpec, init_decoder_params, pos_encode, merge_apply,
