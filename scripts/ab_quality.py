@@ -289,6 +289,18 @@ VARIANTS = {
         tracking=dict(method="lm", lm_iters=10, lm_patience=0,
                       n_pixels=1000),
     ),
+    # the two candidate axes combined: ns16 sample count (1.5x fewer rows
+    # on every trained-ray path) + 1000-px LM tracking (JtJ-noise ATE win).
+    # At ns16's 31 samples/ray the 1000-px LM frame costs ~the same rows
+    # as the 47-sample 500-px default twice over — expected ~12-13 FPS.
+    "ns16-px1k": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4, n_samples_ray=16),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=0,
+                      n_pixels=1000),
+    ),
 }
 
 
