@@ -330,8 +330,14 @@ def run_variant(name, overrides, frames, small, eval_every, seed=0,
     cfg["verbose"] = False
     if small:
         cfg["cam"].update(H=170, W=300, fx=150.0, fy=150.0, cx=149.5, cy=84.5)
-        cfg["mapping"]["n_pixels"] = 1000
-        cfg["tracking"]["n_pixels"] = 300
+        # smoke defaults must not clobber a variant whose AXIS is the pixel
+        # count (lm-px1k/lm-px2k/ns16-px1k/px4k-m50/...) — advisor r3: the
+        # unconditional overwrite made small-mode A/Bs of those variants
+        # measure nothing on the batch axis
+        if "n_pixels" not in overrides.get("mapping", {}):
+            cfg["mapping"]["n_pixels"] = 1000
+        if "n_pixels" not in overrides.get("tracking", {}):
+            cfg["tracking"]["n_pixels"] = 300
         cfg["tracking"]["ignore_edge"] = 5
 
     out = f"/tmp/ab_{name}"
@@ -412,6 +418,9 @@ def main():
     ap.add_argument("--report-only", action="store_true",
                     help="regenerate AB_QUALITY.md from ab_quality.json "
                          "without running anything")
+    ap.add_argument("--skip-done", action="store_true",
+                    help="skip keys already completed in ab_quality.json "
+                         "(makes sweep relaunches idempotent)")
     ap.add_argument("--protocol", choices=["kf", "self"], default="kf",
                     help="reference-view protocol for the eval renders: "
                          "kf = 3 nearest keyframe views (leak-free, rows "
@@ -457,6 +466,9 @@ def main():
             # pre-2026-08-18 self-conditioned rows — tag so the report
             # gates them against the matching parity anchor
             key += "@kf"
+        if args.skip_done and results.get(key, {}).get("wall_s", -1) > 0:
+            print(f"== {key} == already done, skipping", flush=True)
+            continue
         print(f"== {key} ==", flush=True)
         cmd = [
             sys.executable, os.path.abspath(__file__), "--one", name,
