@@ -428,16 +428,27 @@ class Mesher:
         keyframes,
         class2color: Optional[np.ndarray] = None,
         all_poses: Optional[np.ndarray] = None,
+        kf_feats=None,
     ) -> Dict[str, np.ndarray]:
-        """Run the full extraction; returns mesh dict."""
+        """Run the full extraction; returns mesh dict.
+
+        ``kf_feats`` — optional pre-encoded keyframe feature maps of shape
+        (capacity, ceil(H/2), ceil(W/2), C). When the caller (the SLAM
+        driver) already holds per-keyframe encoder features, passing them
+        here skips re-encoding every keyframe image on every ``mesh_every``
+        extraction — keyframe images are immutable after insertion, so the
+        cached maps are exact."""
         from dnsjax.models.encoder import encode_images
 
         kf = keyframes
         K = kf.capacity
         kf_valid = jnp.arange(K) < kf.count
-        feats = encode_images(
-            enc_params, kf.colors, self.compute_dtype
-        ).astype(self.compute_dtype)
+        if kf_feats is not None:
+            feats = jnp.asarray(kf_feats).astype(self.compute_dtype)
+        else:
+            feats = encode_images(
+                enc_params, kf.colors, self.compute_dtype
+            ).astype(self.compute_dtype)
         kf_depths = kf.depths
         if self.depth_test and self.use_est_depth:
             kf_depths = self.estimated_depths(params, kf)
@@ -729,6 +740,7 @@ class Mesher:
         mesh = self.extract(
             driver.params, driver.enc_params, driver.keyframes, class2color,
             all_poses=driver.estimate_c2w[: idx + 1],
+            kf_feats=driver.collect_kf_feats(),
         )
         if mesh["faces"].shape[0] == 0:
             print(f"mesh_{idx}: empty")

@@ -418,3 +418,43 @@ def test_morton_order_locality():
         return np.mean(exts)
 
     assert mean_chunk_extent(p[order]) < 0.5 * mean_chunk_extent(p)
+
+
+@pytest.mark.slow
+def test_extract_with_cached_kf_feats_matches():
+    """Mesher.extract(kf_feats=driver.collect_kf_feats()) — the save_mesh
+    fast path that skips re-encoding every keyframe image — produces the
+    same mesh as the from-scratch encode (keyframe images are immutable
+    after insertion, so the cache is exact)."""
+    import jax.numpy as jnp
+    from dnsjax.data.synthetic import synthetic_slam_config
+    from dnsjax.mesh.mesher import Mesher
+    from dnsjax.slam.driver import DNSSLAM
+
+    cfg = synthetic_slam_config(
+        H=32, W=40, n_frames=4, n_iters_track=2, n_iters_map=20,
+        n_pixels_map=200,
+    )
+    cfg["use_gt_camera"] = True
+    slam = DNSSLAM(cfg, output_dir="/tmp/dnsjax_kffeat")
+    slam.run()
+
+    mcfg = {
+        "meshing": {"resolution": 40, "points_batch_size": 8192,
+                    "level_set": 0.0, "clean_mesh": False},
+        "back_end": {"bound": np.asarray(slam.bound).tolist(),
+                     "marching_cubes_bound": np.asarray(slam.bound).tolist()},
+    }
+    ds = slam.dataset
+    m = Mesher(mcfg, dict(H=ds.H, W=ds.W, fx=ds.fx, fy=ds.fy,
+                          cx=ds.cx, cy=ds.cy), slam.bound, slam.spec,
+               slam.compute_dtype)
+    feats = slam.collect_kf_feats()
+    assert feats is not None and feats.shape[0] == slam.keyframes.capacity
+    a = m.extract(slam.params, slam.enc_params, slam.keyframes)
+    b = m.extract(slam.params, slam.enc_params, slam.keyframes,
+                  kf_feats=feats)
+    np.testing.assert_array_equal(a["vertices"], b["vertices"])
+    np.testing.assert_array_equal(a["faces"], b["faces"])
+    np.testing.assert_allclose(a["colors"], b["colors"], atol=1e-5)
+    np.testing.assert_array_equal(a["labels"], b["labels"])
