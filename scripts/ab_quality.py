@@ -304,22 +304,31 @@ VARIANTS = {
 }
 
 
-def run_variant(name, overrides, frames, small, eval_every, seed=0,
-                protocol="kf"):
-    import jax
-    import jax.numpy as jnp
+# The A/B BASE schedule: the reference schedule (replica.yaml:28-47 shape),
+# frozen here regardless of configs/slam.yaml. The adopted production
+# defaults drift as gates pass (ns16-m50-map10 landed in slam.yaml in round
+# 4), and an unfrozen base would silently re-shape every variant that
+# doesn't pin these axes — the same failure mode that burned the first @kf
+# sweep via tracking.method. Variant overrides still apply on top, so
+# schedule variants (ns16, m50, map10, px*, lm-px*) keep measuring their
+# named axis.
+BASE_SCHEDULE = dict(
+    training=dict(n_samples_ray=32),
+    mapping=dict(n_iters=100, n_iters_first=500,
+                 optimize_every_n_frames=5, n_pixels=2000),
+    tracking=dict(n_iters=50, n_pixels=500),
+)
 
+
+def build_variant_cfg(name, overrides, frames, small, seed=0):
+    """Assemble the full SLAM config for one A/B variant run (separated
+    from run_variant so the base-schedule freeze is unit-testable)."""
     from dnsjax.config import load_config
-    from dnsjax.eval.ate import evaluate_ate
-    from dnsjax.eval.render_metrics import psnr
-    from dnsjax.eval.semantic import semantic_metrics
-    from dnsjax.geometry.se3 import invert_se3
-    from dnsjax.models.encoder import encode_images
-    from dnsjax.render.full import make_full_renderer
-    from dnsjax.slam.driver import DNSSLAM
 
     cfg = load_config("configs/synthetic/textured.yaml", "configs/slam.yaml")
     cfg["synthetic"]["n_frames"] = frames
+    for sec, vals in BASE_SCHEDULE.items():
+        cfg[sec].update(vals)
     cfg["model"]["grid"].update(overrides.get("grid", {}))
     cfg["model"]["pos"].update(overrides.get("pos", {}))
     cfg["tpu"].update(overrides.get("tpu", {}))
@@ -339,6 +348,23 @@ def run_variant(name, overrides, frames, small, eval_every, seed=0,
         if "n_pixels" not in overrides.get("tracking", {}):
             cfg["tracking"]["n_pixels"] = 300
         cfg["tracking"]["ignore_edge"] = 5
+    return cfg
+
+
+def run_variant(name, overrides, frames, small, eval_every, seed=0,
+                protocol="kf"):
+    import jax
+    import jax.numpy as jnp
+
+    from dnsjax.eval.ate import evaluate_ate
+    from dnsjax.eval.render_metrics import psnr
+    from dnsjax.eval.semantic import semantic_metrics
+    from dnsjax.geometry.se3 import invert_se3
+    from dnsjax.models.encoder import encode_images
+    from dnsjax.render.full import make_full_renderer
+    from dnsjax.slam.driver import DNSSLAM
+
+    cfg = build_variant_cfg(name, overrides, frames, small, seed)
 
     out = f"/tmp/ab_{name}"
     os.system(f"rm -rf {out}")

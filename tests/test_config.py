@@ -59,3 +59,65 @@ def test_ab_variants_pin_tracking_method():
         assert "method" in overrides.get("tracking", {}), name
         assert "kernel" in overrides.get("pos", {}), name
         assert "smooth_every" in overrides.get("training", {}), name
+
+
+def test_production_point_coherent_across_configs():
+    """The adopted production operating point (ns16-m50-map10, round 4)
+    must be what the shipped scene configs actually resolve to — round 3
+    shipped a replica.yaml tracking batch that silently contradicted the
+    adopted LM tracker (VERDICT r3 weak #2)."""
+    root = os.path.join(os.path.dirname(__file__), "..")
+    default = os.path.join(root, "configs", "slam.yaml")
+    for scene in ("replica/room_0.yaml", "replica/office_0.yaml"):
+        cfg = load_config(os.path.join(root, "configs", scene), default)
+        assert cfg["training"]["n_samples_ray"] == 16, scene
+        assert cfg["mapping"]["n_iters"] == 50, scene
+        assert cfg["mapping"]["optimize_every_n_frames"] == 10, scene
+        assert cfg["tracking"]["method"] == "lm", scene
+        # LM frame cost is row-rate linear in n_pixels: big tracking
+        # batches are NOT free (they were for Adam)
+        assert cfg["tracking"]["n_pixels"] == 500, scene
+    scannet = load_config(
+        os.path.join(root, "configs", "scannet", "scene0000.yaml"), default
+    )
+    assert scannet["training"]["n_samples_ray"] == 16
+    assert scannet["tracking"]["n_pixels"] == 1000  # reference value
+
+
+def test_ab_base_schedule_frozen_against_default_drift():
+    """scripts/ab_quality.py must assemble variant configs on the REFERENCE
+    schedule even though configs/slam.yaml now defaults to the adopted
+    production point — otherwise every unpinned variant silently re-shapes
+    when a gate adoption lands (the failure mode that burned the first @kf
+    sweep via tracking.method)."""
+    import importlib.util
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "abq", os.path.join(root, "scripts", "ab_quality.py")
+    )
+    abq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(abq)
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        cfg = abq.build_variant_cfg(
+            "parity", abq.VARIANTS["parity"], frames=40, small=False
+        )
+    finally:
+        os.chdir(cwd)
+    assert cfg["training"]["n_samples_ray"] == 32
+    assert cfg["mapping"]["n_iters"] == 100
+    assert cfg["mapping"]["n_iters_first"] == 500
+    assert cfg["mapping"]["optimize_every_n_frames"] == 5
+    assert cfg["mapping"]["n_pixels"] == 2000
+    assert cfg["tracking"]["n_iters"] == 50
+    assert cfg["tracking"]["n_pixels"] == 500
+    # variant overrides still win over the frozen base
+    cfg = abq.build_variant_cfg(
+        "ns16-m50-map10", abq.VARIANTS["ns16-m50-map10"], frames=40,
+        small=False,
+    )
+    assert cfg["training"]["n_samples_ray"] == 16
+    assert cfg["mapping"]["n_iters"] == 50
+    assert cfg["mapping"]["optimize_every_n_frames"] == 10
