@@ -21,6 +21,8 @@ Architecture (dims with default config):
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from dataclasses import dataclass
 from typing import Any, Dict, Tuple
 
@@ -111,12 +113,26 @@ def decoder_param_count(params: Params) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
 
 
-# Pluggable grid encode. parallel/tp.py swaps in the row-sharded
-# hash_encode_tp for the duration of ITS trace (set + restore inside the
-# traced body, so the hook is active exactly while jit traces that program
-# and never leaks into other programs). Single-threaded tracing assumed
-# (JAX's own trace machinery already is).
-GRID_ENCODE = hash_encode
+# Pluggable grid encode, read at trace time by pos_encode. parallel/tp.py
+# swaps in the row-sharded hash_encode_tp and slam/tracker.py the
+# forward-mode-differentiable variant, each for the duration of its own
+# trace via the context manager below. A ContextVar (not a module global)
+# makes the override re-entrant and confines it to the overriding context:
+# a concurrently-tracing consumer in another thread sees the default.
+_GRID_ENCODE: contextvars.ContextVar = contextvars.ContextVar(
+    "dnsjax_grid_encode", default=hash_encode
+)
+
+
+@contextlib.contextmanager
+def grid_encode_override(fn):
+    """Route pos_encode's grid encode through ``fn`` while tracing inside
+    this block (fn has hash_encode's signature: (table, pts01, spec))."""
+    token = _GRID_ENCODE.set(fn)
+    try:
+        yield
+    finally:
+        _GRID_ENCODE.reset(token)
 
 
 def pos_encode(
@@ -127,7 +143,7 @@ def pos_encode(
     Reference: models/decoder.py:30-48 (``Pos_Encoding.forward``).
     """
     pe = oneblob_encode(pts01, spec.n_bins, spec.oneblob_kernel)
-    grid = GRID_ENCODE(params["table"], pts01, spec.grid)
+    grid = _GRID_ENCODE.get()(params["table"], pts01, spec.grid)
     return pe, grid
 
 

@@ -177,16 +177,15 @@ def make_map_fn_dp_tp(
     loss_fn = _mapper._build_loss_fn(spec, cfg, n_target, compute_dtype)
 
     def device_body(params, quads0, Ts0, window, key):
-        from dnsjax.models import decoder as _dec
+        from dnsjax.models.decoder import grid_encode_override
 
         # trace-time hook: route the decoder's grid encode through the
-        # row-sharded variant for THIS program only (restored in finally;
-        # device_body only ever runs under jit tracing)
-        prev = _dec.GRID_ENCODE
-        _dec.GRID_ENCODE = lambda table, p01, gspec: hash_encode_tp(
-            table, p01, gspec, "tp"
-        )
-        try:
+        # row-sharded variant for THIS program only (the context manager
+        # restores the default on exit; device_body only ever runs under
+        # jit tracing)
+        with grid_encode_override(
+            lambda table, p01, gspec: hash_encode_tp(table, p01, gspec, "tp")
+        ):
             dev = jax.lax.axis_index("dp")
             key = jax.random.fold_in(key, dev)
             opt_params = (params, quads0, Ts0)
@@ -226,8 +225,6 @@ def make_map_fn_dp_tp(
             final_aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
             final_aux["losses"] = losses
             return params, quads, Ts, final_aux
-        finally:
-            _dec.GRID_ENCODE = prev
 
     pspec = {
         k: (P(None, "tp", None) if k == "table" else P()) for k in param_keys

@@ -205,21 +205,17 @@ def make_track_fn(
 
         Traced under jax.linearize (forward mode), so the grid encode is
         routed through the JVP-differentiable plain-autodiff variant via
-        the decoder's trace-time GRID_ENCODE hook (hash_encode is a
-        custom_vjp, which forward-mode cannot pierce; same hook pattern as
-        parallel/tp.py)."""
-        from dnsjax.models import decoder as _dec
+        the decoder's trace-time grid_encode_override hook (hash_encode is
+        a custom_vjp, which forward-mode cannot pierce; same hook pattern
+        as parallel/tp.py)."""
+        from dnsjax.models.decoder import grid_encode_override
         from dnsjax.ops.hashgrid import hash_encode_fwd_mode
 
-        prev = _dec.GRID_ENCODE
-        _dec.GRID_ENCODE = hash_encode_fwd_mode
-        try:
+        with grid_encode_override(hash_encode_fwd_mode):
             out, gt_c, gt_d, gt_l, mask = forward(
                 qt, params, enc_feats, refer_w2c, colorf, depthf, labelf,
                 bound, key
             )
-        finally:
-            _dec.GRID_ENCODE = prev
         m = mask.astype(jnp.float32)
         n_valid = jnp.sum(m) + 1e-8
 
