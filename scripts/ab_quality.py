@@ -227,6 +227,19 @@ VARIANTS = {
         tracking=dict(method="lm", lm_iters=10, lm_patience=0),
         mapping=dict(n_iters=50, optimize_every_n_frames=10),
     ),
+    # ADOPTED bundle + LM early-exit (lm_patience=3): the 30-FPS-stretch
+    # candidate. Gated on the production point itself (not the base
+    # schedule like lm-track-pat) because patience interacts with how
+    # converged the map is when the tracker runs — the adopted 50x10
+    # keystep schedule is the map the production tracker actually sees.
+    "ns16-m50-map10-pat": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4, n_samples_ray=16),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=3),
+        mapping=dict(n_iters=50, optimize_every_n_frames=10),
+    ),
     # batch-scale axis: SAME ray*iteration sample budget as the adopted
     # default (2000 x 100), re-shaped to fewer optimizer steps of bigger
     # ray batches. The reference's 2000 rays/iter (replica.yaml:44) sizes
