@@ -35,6 +35,9 @@ from dnsjax.geometry.se3 import (
 )
 from dnsjax.models.decoder import DecoderSpec, init_decoder_params, decoder_param_count
 from dnsjax.models.encoder import init_encoder_params, encode_images
+
+# shared across driver instances (see DNSSLAM.__init__: self._encode)
+_ENCODE_JIT = jax.jit(encode_images, static_argnums=(2,))
 from dnsjax.slam.keyframes import KeyframeStore
 from dnsjax.slam.mapper import (
     MapConfig,
@@ -207,9 +210,11 @@ class DNSSLAM:
             self.spec, self.map_cfg, compute_dtype=self.compute_dtype
         )
         self.overlap_fn = make_overlap_score_fn(self.map_cfg)
-        self._encode = jax.jit(
-            lambda p, imgs: encode_images(p, imgs, self.compute_dtype)
-        )
+        # module-level jit (static dtype arg) instead of a per-instance
+        # lambda closure, so every driver in the process shares one
+        # compiled encode program
+        dt = self.compute_dtype
+        self._encode = lambda p, imgs: _ENCODE_JIT(p, imgs, dt)
 
         # mapper host state
         self.exist_decoders: Dict[int, int] = {}

@@ -293,6 +293,15 @@ def _build_loss_fn(
     return loss_fn
 
 
+# Process-global program caches: every key is the FULL static configuration
+# (frozen all-scalar dataclasses + ints + dtype), so two entries collide only
+# when the built programs are identical. Placement is not part of the key on
+# purpose — a cached jitted callable re-specializes per input sharding/device
+# inside jax.jit's own executable cache.
+_MAP_STEP_MEMO: dict = {}
+_GLOBAL_CHUNK_CACHE: dict = {}
+
+
 def make_map_fn(
     spec: DecoderSpec,
     cfg: MapConfig,
@@ -317,10 +326,18 @@ def make_map_fn(
     worker's tolerance; see mapping.max_iters_per_dispatch).
 
     ``_chunk_cache``: optional dict shared across make_map_fn calls — the
-    jitted chunk program is cached per (n_target, chunk), so DIFFERENT
+    jitted chunk program is cached per full static config, so DIFFERENT
     n_iters values (the 500-iter first keystep and the 100-iter steady
     state, reference mapping.py:1020-1038) share ONE compiled program
-    instead of costing a 30-70 s XLA compile each."""
+    instead of costing a 30-70 s XLA compile each. When omitted, a
+    process-global cache is used, so separate DNSSLAM instances with
+    identical static configuration (fresh drivers in one process: tests,
+    notebooks, resumed runs) also share programs."""
+    chunk = min(chunk, n_iters)
+    if chunk <= 0:
+        memo_key = (spec, cfg, n_target, n_iters, compute_dtype)
+        if memo_key in _MAP_STEP_MEMO:
+            return _MAP_STEP_MEMO[memo_key]
     loss_fn = _build_loss_fn(spec, cfg, n_target, compute_dtype)
     opt = optax.multi_transform(
         {
@@ -352,7 +369,6 @@ def make_map_fn(
     # kept distinct from chunk=0 so a 50-iter steady keystep shares the
     # compiled (n_target, 50) chunk_step with the 500-iter first keystep
     # instead of compiling a second whole-keystep program.
-    chunk = min(chunk, n_iters)
     if chunk <= 0:
 
         @jax.jit
@@ -369,15 +385,15 @@ def make_map_fn(
             final_aux["losses"] = losses
             return params, quads, Ts, final_aux
 
+        _MAP_STEP_MEMO[memo_key] = map_step
         return map_step
 
     if n_iters % chunk != 0:
         raise ValueError(f"chunk {chunk} must divide n_iters {n_iters}")
 
-    # NOTE: the cache key assumes every sharing caller uses the same
-    # spec/cfg/compute_dtype (true within one driver); do not share a cache
-    # across differently-configured mappers.
-    cache_key = (n_target, chunk)
+    if _chunk_cache is None:
+        _chunk_cache = _GLOBAL_CHUNK_CACHE
+    cache_key = (spec, cfg, n_target, chunk, compute_dtype)
     if _chunk_cache is not None and cache_key in _chunk_cache:
         chunk_step, init_fn = _chunk_cache[cache_key]
     else:
@@ -418,6 +434,9 @@ def make_map_fn(
     return map_step
 
 
+_DECODER_INIT_MEMO: dict = {}
+
+
 def make_decoder_init_fn(
     spec: DecoderSpec, cfg: MapConfig, n_iters: int = 100, n_pixels: int = 300,
     compute_dtype=jnp.bfloat16,
@@ -425,6 +444,9 @@ def make_decoder_init_fn(
     """Warm-up for newly-seen semantic classes (reference: mapping.py:764-836):
     n_iters steps on class-restricted rays of the current frame, full loss
     minus distillation, optimizing net params only."""
+    memo_key = (spec, cfg, n_iters, n_pixels, compute_dtype)
+    if memo_key in _DECODER_INIT_MEMO:
+        return _DECODER_INIT_MEMO[memo_key]
     S = cfg.n_samples + cfg.n_surface
 
     def loss_fn(params, key, frame, class_mask):
@@ -497,13 +519,20 @@ def make_decoder_init_fn(
         (params, _), losses = jax.lax.scan(step, (params, opt_state), keys)
         return params, losses
 
+    _DECODER_INIT_MEMO[memo_key] = decoder_init
     return decoder_init
+
+
+_OVERLAP_FN_MEMO: dict = {}
 
 
 def make_overlap_score_fn(cfg: MapConfig, n_pixels: int = 100, n_samples: int = 16):
     """Keyframe overlap ranking (reference: mapping.py:171-236): sample rays
     of the current view, lift 16 depth-bracketed points each, project into
     every keyframe, and score by the fraction inside the frustum."""
+    memo_key = (cfg, n_pixels, n_samples)
+    if memo_key in _OVERLAP_FN_MEMO:
+        return _OVERLAP_FN_MEMO[memo_key]
 
     @jax.jit
     def overlap_scores(depth, c2w, kf_est_c2w, kf_valid, key):
@@ -532,4 +561,5 @@ def make_overlap_score_fn(cfg: MapConfig, n_pixels: int = 100, n_samples: int = 
         score = jnp.mean(ok.astype(jnp.float32), axis=1)  # (K,)
         return jnp.where(kf_valid, score, -1.0)
 
+    _OVERLAP_FN_MEMO[memo_key] = overlap_scores
     return overlap_scores

@@ -117,6 +117,9 @@ def make_pose_optimizer(cfg: TrackConfig) -> optax.GradientTransformation:
     return optax.adam(sched(cfg.cam_lr))
 
 
+_TRACK_FN_MEMO: dict = {}
+
+
 def make_track_fn(
     spec: DecoderSpec, cfg: TrackConfig, compute_dtype=jnp.bfloat16, mesh=None,
 ):
@@ -134,6 +137,12 @@ def make_track_fn(
     """
     if cfg.method not in ("adam", "lm"):
         raise ValueError(f"tracking.method={cfg.method!r}: expected adam|lm")
+    # Process-global memo (single-device path): fresh drivers with the same
+    # static config (frozen all-scalar dataclasses) share one jitted track
+    # program instead of each paying its XLA compile.
+    memo_key = (spec, cfg, compute_dtype) if mesh is None else None
+    if memo_key is not None and memo_key in _TRACK_FN_MEMO:
+        return _TRACK_FN_MEMO[memo_key]
     opt = make_pose_optimizer(cfg)
     S = cfg.n_samples + cfg.n_surface
 
@@ -468,7 +477,9 @@ def make_track_fn(
     track_impl = track_body_lm if cfg.method == "lm" else track_body
 
     if mesh is None:
-        return jax.jit(track_impl)
+        fn = jax.jit(track_impl)
+        _TRACK_FN_MEMO[memo_key] = fn
+        return fn
 
     from jax import shard_map
     from jax.sharding import PartitionSpec as P

@@ -133,15 +133,12 @@ def test_depth_l1_virtual_views():
     assert 1.0 < shifted["depth_l1_cm"] < 20.0
 
 
-@pytest.mark.slow
-def test_vertex_attr_interpolate_matches_requery():
-    """Interpolated vertex colors/labels (single-pass extraction) agree
-    with the reference-style vertex re-query on a fitted synthetic map."""
-    import jax
-    import jax.numpy as jnp
-    from dnsjax.data.synthetic import SyntheticDataset, synthetic_slam_config
-    from dnsjax.mesh.mesher import Mesher
-    from dnsjax.models.decoder import DecoderSpec
+@pytest.fixture(scope="module")
+def fitted_slam():
+    """One fitted synthetic map shared by the extraction-equivalence tests
+    below (each compares two extraction modes on the SAME params, so they
+    only need a converged map, not their own fit)."""
+    from dnsjax.data.synthetic import synthetic_slam_config
     from dnsjax.slam.driver import DNSSLAM
 
     cfg = synthetic_slam_config(
@@ -149,8 +146,18 @@ def test_vertex_attr_interpolate_matches_requery():
         n_pixels_map=200,
     )
     cfg["use_gt_camera"] = True
-    slam = DNSSLAM(cfg, output_dir="/tmp/dnsjax_vattr")
+    slam = DNSSLAM(cfg, output_dir="/tmp/dnsjax_mesh_fit")
     slam.run()
+    return slam
+
+
+@pytest.mark.slow
+def test_vertex_attr_interpolate_matches_requery(fitted_slam):
+    """Interpolated vertex colors/labels (single-pass extraction) agree
+    with the reference-style vertex re-query on a fitted synthetic map."""
+    from dnsjax.mesh.mesher import Mesher
+
+    slam = fitted_slam
 
     def build(mode):
         mcfg = {
@@ -178,22 +185,13 @@ def test_vertex_attr_interpolate_matches_requery():
 
 
 @pytest.mark.slow
-def test_hierarchical_query_matches_dense():
+def test_hierarchical_query_matches_dense(fitted_slam):
     """Coarse-to-fine extraction reproduces the dense grid's mesh on a
     fitted synthetic map (the flag criterion must catch every surface
     cell), with far fewer field evaluations."""
-    from dnsjax.data.synthetic import synthetic_slam_config
     from dnsjax.mesh.mesher import Mesher
-    from dnsjax.slam.driver import DNSSLAM
 
-    cfg = synthetic_slam_config(
-        H=32, W=40, n_frames=4, n_iters_track=2, n_iters_map=30,
-        n_pixels_map=200,
-    )
-    cfg["use_gt_camera"] = True
-    slam = DNSSLAM(cfg, output_dir="/tmp/dnsjax_hier")
-    slam.run()
-
+    slam = fitted_slam
     calls = []
 
     def build(hier):
@@ -421,24 +419,14 @@ def test_morton_order_locality():
 
 
 @pytest.mark.slow
-def test_extract_with_cached_kf_feats_matches():
+def test_extract_with_cached_kf_feats_matches(fitted_slam):
     """Mesher.extract(kf_feats=driver.collect_kf_feats()) — the save_mesh
     fast path that skips re-encoding every keyframe image — produces the
     same mesh as the from-scratch encode (keyframe images are immutable
     after insertion, so the cache is exact)."""
-    import jax.numpy as jnp
-    from dnsjax.data.synthetic import synthetic_slam_config
     from dnsjax.mesh.mesher import Mesher
-    from dnsjax.slam.driver import DNSSLAM
 
-    cfg = synthetic_slam_config(
-        H=32, W=40, n_frames=4, n_iters_track=2, n_iters_map=20,
-        n_pixels_map=200,
-    )
-    cfg["use_gt_camera"] = True
-    slam = DNSSLAM(cfg, output_dir="/tmp/dnsjax_kffeat")
-    slam.run()
-
+    slam = fitted_slam
     mcfg = {
         "meshing": {"resolution": 40, "points_batch_size": 8192,
                     "level_set": 0.0, "clean_mesh": False},

@@ -203,13 +203,22 @@ def test_dryrun_survives_poisoned_tpu_env():
     env["PALLAS_AXON_POOL_IPS"] = "10.255.255.255"  # unroutable
     env["JAX_PLATFORMS"] = "axon"
     env.pop("_DNSJAX_DRYRUN_CHILD", None)
+    # the probe WILL hang against the unroutable IP — that hang is the
+    # point; don't pay the full 90 s production grace period for it
+    env["DNSJAX_DRYRUN_PROBE_TIMEOUT"] = "10"
     pyp = [p for p in (here,) + ((axon_site,) if os.path.isdir(axon_site) else ())]
     env["PYTHONPATH"] = os.pathsep.join(pyp)
     # drop conftest's virtual-device XLA flag: the child sets its own
     env.pop("XLA_FLAGS", None)
+    # dp-only stages: this test's assertion is the ENV traversal (poisoned
+    # plugin env -> hermetic CPU child reaches rc=0), which is identical
+    # whichever multichip programs run afterwards; the full stage set runs
+    # in-process in test_dryrun_multichip_full_mesh above and in the
+    # driver's artifact run. A cold child recompiling every program tripled
+    # this test's wall for no extra coverage.
     r = subprocess.run(
         [sys.executable, "-c",
-         "import __graft_entry__ as g; g.dryrun_multichip(4)"],
+         "import __graft_entry__ as g; g.dryrun_multichip(4, stages=('dp',))"],
         env=env, cwd=here, capture_output=True, text=True, timeout=540,
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
