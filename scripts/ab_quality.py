@@ -232,6 +232,7 @@ VARIANTS = {
     # schedule like lm-track-pat) because patience interacts with how
     # converged the map is when the tracker runs — the adopted 50x10
     # keystep schedule is the map the production tracker actually sees.
+    # RESULT: 3-seed gate NO (PSNR -8%; AB_QUALITY.md conclusion 16).
     "ns16-m50-map10-pat": dict(
         grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
         tpu=dict(feature_taps=1),
@@ -239,6 +240,36 @@ VARIANTS = {
         training=dict(smooth_every=4, n_samples_ray=16),
         tracking=dict(method="lm", lm_iters=10, lm_patience=3),
         mapping=dict(n_iters=50, optimize_every_n_frames=10),
+    ),
+    # ADOPTED bundle with 8 LM iterations instead of 10: unlike patience
+    # (data-dependent truncation, rejected), this uniformly shortens every
+    # frame's solve — tracking FPS scales ~10/8 (28.7 -> ~35 measured
+    # curve) IF the two dropped damped-GN steps don't cost pose accuracy.
+    "ns16-m50-map10-lm8": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4, n_samples_ray=16),
+        tracking=dict(method="lm", lm_iters=8, lm_patience=0),
+        mapping=dict(n_iters=50, optimize_every_n_frames=10),
+    ),
+    # ADOPTED bundle with 25-iter keysteps: the 2-chip amortized rate is
+    # mapper-bound at min(tracking_fps, 10 frames/keystep_s) = 11.2 FPS
+    # at the adopted 0.89 s keystep (BASELINE.md round-4); halving keystep
+    # iterations would lift the mapper bound to ~22 FPS and the
+    # single-chip amortized to ~12.5 — IF 25 Adam steps converge the
+    # window at ns16 (px8k-m25 showed 25 steps do NOT converge at 8000
+    # rays; this keeps the adopted 2000-ray batch, a different regime).
+    # max_iters_per_dispatch pinned so _chunk_for doesn't degrade the
+    # 25/500-iter keysteps to sub-13-iter dispatches.
+    "ns16-m25-map10": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4, n_samples_ray=16),
+        tracking=dict(method="lm", lm_iters=10, lm_patience=0),
+        mapping=dict(n_iters=25, optimize_every_n_frames=10,
+                     max_iters_per_dispatch=25),
     ),
     # batch-scale axis: SAME ray*iteration sample budget as the adopted
     # default (2000 x 100), re-shaped to fewer optimizer steps of bigger
