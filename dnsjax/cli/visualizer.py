@@ -5,9 +5,12 @@ interactive replay with camera actors, trajectories, and live meshes;
 optionally captured to mp4). open3d isn't available in this environment, so
 dnsjax renders with matplotlib in two modes:
 
-* replay (default): per-frame 3D trajectory (est vs gt), camera glyph, and
-  the latest mesh vertices as a point cloud — written as png frames and
-  optionally assembled to mp4 with ffmpeg if present.
+* replay (default): per-frame 3D view with the reference's camera-actor
+  glyph (utils/viz.py:14-42; est red / gt black, accumulated per keyframe),
+  est/gt trajectories, and the latest extracted mesh as a flat-shaded
+  surface (vertex-colored, decimated) — written as png frames and
+  optionally assembled to mp4 with ffmpeg if present (the reference's
+  save_rendering capture, utils/viz.py:149-155).
 * ``--live``: follow a RUNNING SLAM process (the reference's live-monitor
   use of utils/viz.py:14-209). The driver streams per-frame est/gt poses
   into ``metrics.jsonl`` (slam/driver.py track events); this mode tails the
@@ -26,25 +29,113 @@ import subprocess
 import time
 
 
-def _load_mesh_pts(ply_path, max_pts=20000):
+def _load_mesh(ply_path, max_faces=20000, max_pts=20000):
+    """Load a mesh for display: decimated faces + per-face shade colors,
+    or a vertex point-cloud fallback when the PLY carries no faces.
+
+    Returns {"tris": (F,3,3), "fc": (F,3|4)} or {"pts": (P,3), "c": ...}.
+    """
     import numpy as np
     from dnsjax.mesh.export import read_ply
 
-    v, _, c, _ = read_ply(ply_path)
+    v, f, c, _ = read_ply(ply_path)
     if v.shape[0] == 0:
         return None
-    sel = np.random.default_rng(0).choice(
-        v.shape[0], size=min(max_pts, v.shape[0]), replace=False
+    rng = np.random.default_rng(0)
+    if f is not None and len(f) > 0:
+        f = np.asarray(f)
+        if f.shape[0] > max_faces:
+            f = f[rng.choice(f.shape[0], size=max_faces, replace=False)]
+        tris = v[f]  # (F, 3, 3)
+        # flat Lambert shade (the matplotlib stand-in for open3d's
+        # compute_vertex_normals + shaded render, utils/viz.py:92-102)
+        n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12
+        lam = np.abs(n @ np.asarray([0.3, 0.5, 0.81]))
+        base = (
+            c[f].mean(axis=1) / 255.0
+            if c is not None
+            else np.full((f.shape[0], 3), 0.72)
+        )
+        fc = np.clip(base * (0.35 + 0.65 * lam[:, None]), 0.0, 1.0)
+        return {"tris": tris, "fc": fc}
+    sel = rng.choice(v.shape[0], size=min(max_pts, v.shape[0]), replace=False)
+    return {"pts": v[sel], "c": None if c is None else c[sel] / 255.0}
+
+
+# the reference camera-actor glyph: 8 canonical points joined by 12 lines
+# (utils/viz.py:14-42 — a frustum wireframe plus an 'up' tick), est drawn
+# red, gt black, z flipped before drawing (utils/viz.py:192 update_pose)
+_CAM_POINTS = [
+    [0, 0, 0], [-1, -1, 1.5], [1, -1, 1.5], [1, 1, 1.5],
+    [-1, 1, 1.5], [-0.5, 1, 1.5], [0.5, 1, 1.5], [0, 1.2, 1.5],
+]
+_CAM_LINES = [
+    [1, 2], [2, 3], [3, 4], [4, 1], [1, 3], [2, 4],
+    [1, 0], [0, 2], [3, 0], [0, 4], [5, 7], [7, 6],
+]
+
+
+def _camera_segments(c2w, scale=0.1):
+    """(12, 2, 3) world-space line segments of the camera glyph at pose
+    ``c2w`` ((3|4, 4), OpenGL-style camera looking down -z like the
+    reference's; the glyph opens along the viewing direction)."""
+    import numpy as np
+
+    pts = np.asarray(_CAM_POINTS, np.float64) * scale
+    pts[:, 2] *= -1.0  # the reference's z flip (utils/viz.py:192)
+    R, t = np.asarray(c2w)[:3, :3], np.asarray(c2w)[:3, 3]
+    world = pts @ R.T + t
+    return world[np.asarray(_CAM_LINES)]
+
+
+def _draw(ax, est, gt, mesh, idx, title=None, every=5, cam_scale=0.1):
+    """est/gt: (N, 3|4, 4) pose arrays (positions-only (N, 3) also
+    accepted: camera actors are then skipped)."""
+    import numpy as np
+    from mpl_toolkits.mplot3d.art3d import (
+        Line3DCollection,
+        Poly3DCollection,
     )
-    return (v[sel], None if c is None else c[sel] / 255.0)
 
-
-def _draw(ax, est, gt, mesh_pts, idx, title=None):
-    if mesh_pts is not None:
-        ax.scatter(*mesh_pts[0].T, s=0.3, c=mesh_pts[1], alpha=0.35)
-    ax.plot(*gt[: idx + 1].T, "-", color="black", label="gt")
-    ax.plot(*est[: idx + 1].T, "-", color="tab:red", label="est")
-    ax.scatter(*est[idx].T, color="tab:red", s=40, marker="^")
+    if mesh is not None:
+        if "tris" in mesh:
+            ax.add_collection3d(
+                Poly3DCollection(
+                    mesh["tris"], facecolors=mesh["fc"], edgecolors="none"
+                )
+            )
+            lo = mesh["tris"].reshape(-1, 3).min(0)
+            hi = mesh["tris"].reshape(-1, 3).max(0)
+            ax.auto_scale_xyz(*[(lo[i], hi[i]) for i in range(3)])
+        else:
+            ax.scatter(*mesh["pts"].T, s=0.3, c=mesh["c"], alpha=0.35)
+    est, gt = np.asarray(est), np.asarray(gt)
+    has_rot = est.ndim == 3
+    est_p = est[:, :3, 3] if has_rot else est
+    gt_p = gt[:, :3, 3] if has_rot else gt
+    ax.plot(*gt_p[: idx + 1].T, "-", color="black", label="gt")
+    ax.plot(*est_p[: idx + 1].T, "-", color="tab:red", label="est")
+    if has_rot:
+        # accumulated keyframe actors (faint) + the current pose (bold) —
+        # the reference adds one actor per tracked frame (utils/viz.py:83-87)
+        past = [
+            _camera_segments(est[k], cam_scale)
+            for k in range(0, idx, max(1, every))
+        ]
+        if past:
+            ax.add_collection3d(Line3DCollection(
+                np.concatenate(past), colors="tab:red", lw=0.5, alpha=0.3))
+        ax.add_collection3d(Line3DCollection(
+            _camera_segments(est[idx], cam_scale), colors="tab:red", lw=1.2))
+        ax.add_collection3d(Line3DCollection(
+            _camera_segments(gt[idx], cam_scale), colors="black", lw=0.8))
+    else:
+        ax.scatter(*est_p[idx].T, color="tab:red", s=40, marker="^")
+    try:
+        ax.set_box_aspect((1, 1, 1))
+    except AttributeError:  # older matplotlib
+        pass
     ax.legend()
     ax.set_title(title or f"frame {idx}")
 
@@ -128,14 +219,15 @@ def _live(out, interval, idle_timeout):
                     except json.JSONDecodeError:
                         continue
                     if "c2w" in ev:
-                        est.append(np.asarray(ev["c2w"]).reshape(3, 4)[:, 3])
-                        gt.append(np.asarray(ev["gt_c2w"]).reshape(3, 4)[:, 3])
+                        est.append(np.asarray(ev["c2w"]).reshape(3, 4))
+                        gt.append(np.asarray(ev["gt_c2w"]).reshape(3, 4))
                         frames.append(int(ev["frame"]))
                         new += 1
         meshes = sorted(glob.glob(os.path.join(out, "mesh_*.ply")))
         if meshes and meshes[-1] != mesh_seen:
             try:
-                mesh_pts = _load_mesh_pts(meshes[-1])
+                # smaller face budget than replay: live redraws every poll
+                mesh_pts = _load_mesh(meshes[-1], max_faces=8000)
                 mesh_seen = meshes[-1]
                 new += 1
             except Exception:
@@ -207,18 +299,18 @@ def main(argv=None):
 
     ckpt = load_checkpoint(args.checkpoint or os.path.join(out, "model.npz"))
     n = ckpt["meta"]["idx"] + 1
-    est = ckpt["estimate_c2w"][:n, :3, 3]
-    gt = ckpt["gt_c2w"][:n, :3, 3]
+    est = ckpt["estimate_c2w"][:n]
+    gt = ckpt["gt_c2w"][:n]
 
     meshes = sorted(glob.glob(os.path.join(out, "mesh_*.ply")))
-    mesh_pts = _load_mesh_pts(meshes[-1]) if meshes else None
+    mesh_pts = _load_mesh(meshes[-1]) if meshes else None
 
     frame_dir = os.path.join(out, "replay")
     os.makedirs(frame_dir, exist_ok=True)
     for k, idx in enumerate(range(1, n, args.every)):
         fig = plt.figure(figsize=(7, 6))
         ax = fig.add_subplot(projection="3d")
-        _draw(ax, est, gt, mesh_pts, idx)
+        _draw(ax, est, gt, mesh_pts, idx, every=args.every)
         fig.savefig(os.path.join(frame_dir, f"replay_{k:05d}.png"), dpi=100)
         plt.close(fig)
     print(f"wrote {len(range(1, n, args.every))} replay frames to {frame_dir}")

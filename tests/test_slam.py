@@ -742,6 +742,48 @@ def test_map_device_second_device(tmp_path):
     assert err < 0.5, f"two-device SLAM diverged: {err}"
 
 
+def test_visualizer_mesh_surface_and_camera_actors(tmp_path):
+    """The 3D replay draws the reference's camera-actor glyph
+    (utils/viz.py:14-42) and the mesh as a shaded face collection."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from dnsjax.cli.visualizer import _camera_segments, _draw, _load_mesh
+    from dnsjax.mesh.export import write_ply
+
+    pose = np.eye(4)
+    pose[:3, 3] = [1.0, 2.0, 3.0]
+    segs = _camera_segments(pose, scale=0.2)
+    assert segs.shape == (12, 2, 3)
+    # the glyph apex (point 0) sits at the camera origin
+    apex = segs[6, 1]  # line [1, 0] ends at point 0
+    assert np.allclose(apex, pose[:3, 3])
+    # all other glyph points sit in front of the camera (-z after the
+    # reference's z flip, utils/viz.py:192)
+    assert (segs.reshape(-1, 3)[:, 2] <= 3.0 + 1e-9).all()
+
+    v = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    f = np.asarray([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+    c = np.asarray([[255, 0, 0]] * 4, np.uint8)
+    write_ply(str(tmp_path / "mesh_0.ply"), v, f, c)
+    mesh = _load_mesh(str(tmp_path / "mesh_0.ply"))
+    assert mesh["tris"].shape == (4, 3, 3)
+    assert mesh["fc"].shape[0] == 4
+    # red vertex colors survive shading (red channel dominates)
+    assert (mesh["fc"][:, 0] > mesh["fc"][:, 1]).all()
+
+    poses = np.tile(np.eye(4), (6, 1, 1))
+    poses[:, 0, 3] = np.linspace(0, 1, 6)
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    _draw(ax, poses, poses, mesh, idx=5, every=2)
+    fig.savefig(str(tmp_path / "frame.png"))
+    plt.close(fig)
+    assert (tmp_path / "frame.png").stat().st_size > 0
+
+
 def test_live_visualizer_follows_metrics(tmp_path):
     """cli/visualizer.py --live tails metrics.jsonl track events (with the
     streamed c2w/gt_c2w rows, driver._track) and keeps live.png updated."""
