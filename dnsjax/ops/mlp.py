@@ -94,6 +94,17 @@ def mlp_apply_gathered(
     Returns:
       (N, S, out) float32.
     """
+    if x.shape[1] == 1:
+        # S=1 (mesh/vertex queries): the per-row weight-matrix take writes
+        # and re-reads ~1 GB of gathered weights per 131k-point chunk with
+        # nothing to amortize it over. Build each row's weights as a
+        # one-hot x stacked-weights matmul instead — 0/1 selection in bf16
+        # is exact (same rows bit-for-bit), and the MXU matmul measured 6x
+        # faster than the take at the mesh bench shape (scripts/
+        # probe_mesh_bisect2.py: 1.1 vs 6.9 ms for 131072 rows, 52 classes).
+        oh = jax.nn.one_hot(classes, stacked["w"][0].shape[0],
+                            dtype=compute_dtype)
+        return _mlp_apply_onehot(stacked, oh, x[:, 0], compute_dtype)[:, None]
     prec = _precision_for(compute_dtype)
     h = x.astype(compute_dtype)
     n = len(stacked["w"])
@@ -104,6 +115,37 @@ def mlp_apply_gathered(
             jnp.einsum("nsi,nio->nso", h, wg,
                        preferred_element_type=jnp.float32, precision=prec)
             + bg[:, None, :]
+        )
+        if i < n - 1:
+            h = jax.nn.relu(h).astype(compute_dtype)
+    return h.astype(jnp.float32)
+
+
+def _mlp_apply_onehot(
+    stacked: Dict[str, Sequence[jnp.ndarray]],
+    oh: jnp.ndarray,
+    x: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Class-dispatched MLP via one-hot weight selection: ``oh (N, C)``
+    0/1 rows, ``x (N, in)``. Equivalent to gathering each row's class
+    weights (one-hot matmul against bf16-cast weights reproduces the cast
+    rows exactly: 1.0*w round-trips bf16 and adding zeros is exact)."""
+    prec = _precision_for(compute_dtype)
+    h = x.astype(compute_dtype)
+    n = len(stacked["w"])
+    for i, (w, b) in enumerate(zip(stacked["w"], stacked["b"])):
+        C, I, O = w.shape
+        weff = jnp.matmul(
+            oh, w.reshape(C, I * O).astype(compute_dtype),
+            preferred_element_type=compute_dtype, precision=prec,
+        ).reshape(-1, I, O)
+        bg = jnp.matmul(oh, b, preferred_element_type=jnp.float32,
+                        precision=prec)
+        h = (
+            jnp.einsum("ni,nio->no", h, weff,
+                       preferred_element_type=jnp.float32, precision=prec)
+            + bg
         )
         if i < n - 1:
             h = jax.nn.relu(h).astype(compute_dtype)

@@ -113,6 +113,38 @@ def test_stacked_mlp_gather_matches_per_class(rng):
         np.testing.assert_allclose(got[n], want, atol=1e-4)
 
 
+def test_stacked_mlp_onehot_s1_matches_per_class(rng):
+    """S=1 dispatches to the one-hot weight-selection path (the mesh-query
+    fast path, ops/mlp.py); it must match the per-class networks exactly
+    like the gathered path does, in both compute dtypes."""
+    C, N = 7, 23
+    stacked = init_stacked_mlp(jax.random.PRNGKey(3), C, 8, 16, 4)
+    classes = jnp.asarray(rng.integers(0, C, size=N))
+    x = jnp.asarray(rng.normal(size=(N, 1, 8)).astype(np.float32))
+    got = np.asarray(
+        mlp_apply_gathered(stacked, classes, x, compute_dtype=jnp.float32)
+    )
+    assert got.shape == (N, 1, 4)
+    for n in range(N):
+        c = int(classes[n])
+        per = {
+            "w": [w[c] for w in stacked["w"]],
+            "b": [b[c] for b in stacked["b"]],
+        }
+        want = np.asarray(mlp_apply(per, x[n], compute_dtype=jnp.float32))
+        np.testing.assert_allclose(got[n], want, atol=1e-4)
+    # bf16: one-hot row selection reproduces the bf16-cast weights exactly,
+    # so it stays close to the S>1 gathered path on identical inputs
+    x2 = jnp.concatenate([x, x], axis=1)  # (N, 2, 8) -> gathered path
+    g2 = np.asarray(
+        mlp_apply_gathered(stacked, classes, x2, compute_dtype=jnp.bfloat16)
+    )[:, :1]
+    g1 = np.asarray(
+        mlp_apply_gathered(stacked, classes, x, compute_dtype=jnp.bfloat16)
+    )
+    np.testing.assert_allclose(g1, g2, rtol=2e-2, atol=2e-2)
+
+
 def test_mlp_bf16_close_to_f32(rng):
     params = init_mlp(jax.random.PRNGKey(2), 80, 32, 33)
     x = jnp.asarray(rng.normal(size=(64, 80)).astype(np.float32))
