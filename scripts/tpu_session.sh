@@ -3,6 +3,10 @@
 # Designed for a possibly-short tunnel window: cheapest/highest-value first,
 # each step bounded by timeout, logs survive a mid-run tunnel death.
 #
+# Round-4 state: adoption decisions are all settled (AB_QUALITY.md 9-16 +
+# the r4c sweep rows); what remains is measurement upkeep at the adopted
+# operating point.
+#
 # Usage: bash scripts/tpu_session.sh   (from the repo root)
 set -u
 OUT=${OUT:-/tmp/tpu_session}
@@ -19,24 +23,21 @@ run() { # run <name> <timeout_s> <cmd...>
   echo "--- $name rc=$rc" | tee -a "$OUT/summary.txt"
 }
 
-# 1. the pending adoption decision: pallas gather vs xla at both hot shapes
-run gather_map   900 python -u scripts/probe_gather.py
-run gather_track 900 python -u scripts/probe_gather.py 23500
-
-# 2. decompose the two over-priced profile buckets
-run buckets      1200 python -u scripts/probe_buckets.py
-
-# 3. full mapping profile with current adoptions (pallas_sr scatter)
-run profile_map  900 python -u scripts/profile_map.py
-run profile_track 900 python -u scripts/profile_track.py --interp tet --oneblob quartic
-
-# 3.5 mesh query: fused rows + the per-chunk keyframe view skip
-run mesh_query   900 python -u scripts/probe_mesh_query.py
-
-# 4. the headline bench (also exercises tracking + mesh + amortized FPS)
+# 1. the headline bench (reference shape + adopted production point +
+#    mesh query + amortized FPS; ~10 min)
 run bench        1800 python -u bench.py
 
-# 5. quality gate for the LM tracker (full-shape synthetic scene; slowest)
-run ab_lm        1800 python -u scripts/ab_quality.py --variants lm-track
+# 2. mesh query component bisect (tracks the one-hot S=1 dispatch and the
+#    remaining hashgrid-encode cost; scan/tail/batched variants)
+run mesh_bisect  1200 python -u scripts/probe_mesh_bisect.py
+run mesh_bisect2 1200 python -u scripts/probe_mesh_bisect2.py
+
+# 3. tracking frame profile at the adopted point (LM, ns16, 500 px)
+run profile_track 900 python -u scripts/profile_track.py --interp tet \
+    --oneblob quartic --lm-only --samples 16
+
+# 4. parity harness dry-run (synthetic stand-in; fills BASELINE.md the
+#    day a real dataset mounts)
+run parity_dry   1800 bash scripts/parity_replica.sh --dry-run
 
 echo "=== done ($(date +%T)) — logs in $OUT ===" | tee -a "$OUT/summary.txt"
