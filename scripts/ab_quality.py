@@ -253,6 +253,20 @@ VARIANTS = {
         tracking=dict(method="lm", lm_iters=8, lm_patience=0),
         mapping=dict(n_iters=50, optimize_every_n_frames=10),
     ),
+    # Both round-4c single-axis levers combined (8 LM iters + 25-iter
+    # keysteps on the adopted bundle): the candidate 2-chip >=20 FPS
+    # production point. Gated only if BOTH single-axis variants pass their
+    # own 3-seed @kf seed-mean gates first — axes that fail alone are not
+    # resurrected by combination (ns16-px1k precedent, conclusion 14).
+    "ns16-m25-map10-lm8": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4, n_samples_ray=16),
+        tracking=dict(method="lm", lm_iters=8, lm_patience=0),
+        mapping=dict(n_iters=25, optimize_every_n_frames=10,
+                     max_iters_per_dispatch=25),
+    ),
     # ADOPTED bundle with 25-iter keysteps: the 2-chip amortized rate is
     # mapper-bound at min(tracking_fps, 10 frames/keystep_s) = 11.2 FPS
     # at the adopted 0.89 s keystep (BASELINE.md round-4); halving keystep

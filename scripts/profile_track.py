@@ -49,7 +49,7 @@ def timed(name, fn, *args):
 
 
 def main(interp="trilinear", n_levels=4, level_dim=8, oneblob_kernel="gaussian",
-         n_ray=N_RAY, n_samples=N_SAMPLES, lm_only=False):
+         n_ray=N_RAY, n_samples=N_SAMPLES, lm_only=False, lm_iters=10):
     fx = W / 2.0
     cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
     bound = jnp.asarray([[-2.9, 8.9], [-3.2, 5.5], [-3.5, 3.3]])
@@ -76,7 +76,8 @@ def main(interp="trilinear", n_levels=4, level_dim=8, oneblob_kernel="gaussian",
     keys20 = jax.random.split(key, ITERS)
 
     if lm_only:
-        _full_frames(spec, bound, fx, cx, cy, n_ray, n_samples, adam=False)
+        _full_frames(spec, bound, fx, cx, cy, n_ray, n_samples, adam=False,
+                     lm_iters=lm_iters)
         return
 
     def scan_sink(body):
@@ -138,10 +139,12 @@ def main(interp="trilinear", n_levels=4, level_dim=8, oneblob_kernel="gaussian",
     run = scan_sink(rc_bwd)
     timed("render_coarse fwd+bwd(pts)", run, pts)
 
-    _full_frames(spec, bound, fx, cx, cy, n_ray, n_samples, adam=True)
+    _full_frames(spec, bound, fx, cx, cy, n_ray, n_samples, adam=True,
+                 lm_iters=lm_iters)
 
 
-def _full_frames(spec, bound, fx, cx, cy, n_ray, n_samples, adam=True):
+def _full_frames(spec, bound, fx, cx, cy, n_ray, n_samples, adam=True,
+                 lm_iters=10):
     """FULL tracking frames (Adam 50-iter schedule and LM 10-iter) at
     n_ray x (n_samples + N_SURFACE) — ms/frame and FPS."""
     import dataclasses
@@ -182,8 +185,9 @@ def _full_frames(spec, bound, fx, cx, cy, n_ray, n_samples, adam=True):
         time_frames(make_track_fn(spec, tcfg),
                     f"FULL track frame (50 iters, {n_ray}px)")
     track_lm = make_track_fn(spec, dataclasses.replace(tcfg, method="lm",
-                                                       lm_iters=10))
-    time_frames(track_lm, f"FULL LM track frame (10 iters, {n_ray}px)")
+                                                       lm_iters=lm_iters))
+    time_frames(track_lm,
+                f"FULL LM track frame ({lm_iters} iters, {n_ray}px)")
 
 
 if __name__ == "__main__":
@@ -198,9 +202,12 @@ if __name__ == "__main__":
                     help="tracking rays per iteration (tracking.n_pixels)")
     ap.add_argument("--samples", type=int, default=N_SAMPLES,
                     help="stratified samples per ray (n_surface fixed at 15)")
+    ap.add_argument("--lm-iters", type=int, default=10,
+                    help="damped GN steps per LM frame (tracking.lm_iters)")
     ap.add_argument("--lm-only", action="store_true",
                     help="skip component slices + Adam frame; time only the "
                          "LM frame (fast adoption measurements)")
     a = ap.parse_args()
     main(a.interp, a.levels, a.dim, a.oneblob,
-         n_ray=a.pixels, n_samples=a.samples, lm_only=a.lm_only)
+         n_ray=a.pixels, n_samples=a.samples, lm_only=a.lm_only,
+         lm_iters=a.lm_iters)

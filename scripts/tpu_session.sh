@@ -34,7 +34,7 @@ run mesh_bisect2 1200 python -u scripts/probe_mesh_bisect2.py
 
 # 3. tracking frame profile at the adopted point (LM, ns16, 500 px)
 run profile_track 900 python -u scripts/profile_track.py --interp tet \
-    --oneblob quartic --lm-only --samples 16
+    --oneblob quartic --lm-only --samples 16 --lm-iters 8
 
 # 4. parity harness dry-run (synthetic stand-in; fills BASELINE.md the
 #    day a real dataset mounts)
