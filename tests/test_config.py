@@ -74,6 +74,8 @@ def test_production_point_coherent_across_configs():
         assert cfg["mapping"]["n_iters"] == 50, scene
         assert cfg["mapping"]["optimize_every_n_frames"] == 10, scene
         assert cfg["tracking"]["method"] == "lm", scene
+        # gated at 8 damped-GN steps (AB_QUALITY.md conclusion 17)
+        assert cfg["tracking"]["lm_iters"] == 8, scene
         # LM frame cost is row-rate linear in n_pixels: big tracking
         # batches are NOT free (they were for Adam)
         assert cfg["tracking"]["n_pixels"] == 500, scene
