@@ -1,15 +1,11 @@
 #!/bin/bash
-# Round-4 fourth sweep: the combined bundle (8 LM iters + 25-iter
-# keysteps). Launch ONLY after both single-axis gates read green
-# (lm8: conclusion 17 GREEN; m25: pending r4c) — the shipped default
-# must carry its OWN 3-seed @kf gate, not an inference from the axes
-# (ns16-px1k precedent, AB_QUALITY.md conclusion 14).
-set -u
-cd "$(dirname "$0")/.."
-mkdir -p sweeps
-{
-  echo "=== sweep_r4d start $(date -u +%FT%TZ) ==="
-  python scripts/ab_quality.py --skip-done --seeds 0,1,2 --variants ns16-m25-map10-lm8
-  python scripts/ab_quality.py --report-only
-  echo "=== sweep_r4d done $(date -u +%FT%TZ) ==="
-} >> sweeps/r4.log 2>&1
+# RETIRED (round 5, AB_QUALITY.md conclusion 18). This was the round-4
+# combined-bundle sweep (8 LM iters + 25-iter keysteps), gated on BOTH
+# single-axis gates reading green. lm8 gated GREEN (conclusion 17) but
+# m25 gated NO (conclusion 18: PSNR seed-mean 30.01 = -8.2% vs parity
+# 32.68) — the launch precondition is failed, so this sweep must not
+# run: the combined bundle cannot gate green when one of its axes
+# fails the PSNR gate on the same protocol. Kept as a record; the
+# schedule axis is closed at mapping.n_iters=50 (conclusion 9).
+echo "sweep_r4d is RETIRED: m25 axis gate-failed (AB_QUALITY.md #18)." >&2
+exit 1
