@@ -102,7 +102,11 @@ def mlp_apply_gathered(
         # is exact (same rows bit-for-bit), and the MXU matmul measured 6x
         # faster than the take at the mesh bench shape (scripts/
         # probe_mesh_bisect2.py: 1.1 vs 6.9 ms for 131072 rows, 52 classes).
-        oh = jax.nn.one_hot(classes, stacked["w"][0].shape[0],
+        # Clamp like jnp.take does on the S>1 path below: one_hot would
+        # ZERO out-of-range ids (selecting all-zero weights), silently
+        # diverging from the take path's clamp-to-nearest semantics.
+        C = stacked["w"][0].shape[0]
+        oh = jax.nn.one_hot(jnp.clip(classes, 0, C - 1), C,
                             dtype=compute_dtype)
         return _mlp_apply_onehot(stacked, oh, x[:, 0], compute_dtype)[:, None]
     prec = _precision_for(compute_dtype)

@@ -280,6 +280,43 @@ def _dense_kernel(idx_ref, vals_ref, out_ref, *, n_windows, w_rows, split,
             pl.when(w * w_rows < used_packed)(_window)
 
 
+def pallas_scatter_viable(
+    R: int, F: int, N: int, use_pallas: bool = True
+) -> bool:
+    """The dense_matmul_scatter dispatch gate, importable so callers
+    (bench.py's ScanNet-profile row, probes) can REPORT which backend a
+    given (table rows, features, contributions) shape actually runs —
+    the fallback below is silent by design (a keystep must not fail
+    because a config grew the table past VMEM)."""
+    P = _LANES // F if F <= _LANES else 0
+    packed_rows_chk = R // max(P, 1)
+    return (
+        use_pallas
+        and F <= _LANES
+        and _LANES % F == 0
+        # P = lanes/F table rows packed per VMEM row. P=64 (F=2, the
+        # reference-style narrow-feature grids) lowers to a Mosaic kernel
+        # whose scoped-VMEM stack exceeds the 16 MB limit on real TPU
+        # (measured 2026-08-18: 17.32M requested, synthetic-scene profile
+        # 8 levels x 8192 rows x 2 feats) — and only the F=8 TPU profile
+        # was ever measured profitable. Gate to the measured family.
+        and P <= 16
+        and R % max(P, 1) == 0
+        and packed_rows_chk % 8 == 0
+        # windows must tile the packed rows exactly (any power-of-two table
+        # qualifies); otherwise n_windows = packed_rows // w_rows would
+        # silently DROP contributions to the tail rows beyond the last
+        # full window
+        and packed_rows_chk % min(512, packed_rows_chk) == 0
+        and R * F * 4 <= 8 * 1024 * 1024
+        # off-TPU the kernel runs in interpret mode, where the dense
+        # matmul formulation costs real FLOPs on the host — keep it for
+        # small CI shapes (correctness stays tested) but fall back to the
+        # XLA scatter at production sizes so CPU runs aren't 25x slower
+        and (jax.default_backend() == "tpu" or N <= 16384)
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("R", "block", "split", "use_pallas", "rows_used"),
@@ -314,33 +351,8 @@ def dense_matmul_scatter(
     """
     L, N = idx.shape
     F = vals.shape[-1]
-    P = _LANES // F if F <= _LANES else 0
-    packed_rows_chk = R // max(P, 1)
-    ok = (
-        use_pallas
-        and F <= _LANES
-        and _LANES % F == 0
-        # P = lanes/F table rows packed per VMEM row. P=64 (F=2, the
-        # reference-style narrow-feature grids) lowers to a Mosaic kernel
-        # whose scoped-VMEM stack exceeds the 16 MB limit on real TPU
-        # (measured 2026-08-18: 17.32M requested, synthetic-scene profile
-        # 8 levels x 8192 rows x 2 feats) — and only the F=8 TPU profile
-        # was ever measured profitable. Gate to the measured family.
-        and P <= 16
-        and R % max(P, 1) == 0
-        and packed_rows_chk % 8 == 0
-        # windows must tile the packed rows exactly (any power-of-two table
-        # qualifies); otherwise n_windows = packed_rows // w_rows would
-        # silently DROP contributions to the tail rows beyond the last
-        # full window
-        and packed_rows_chk % min(512, packed_rows_chk) == 0
-        and R * F * 4 <= 8 * 1024 * 1024
-        # off-TPU the kernel runs in interpret mode, where the dense
-        # matmul formulation costs real FLOPs on the host — keep it for
-        # small CI shapes (correctness stays tested) but fall back to the
-        # XLA scatter at production sizes so CPU runs aren't 25x slower
-        and (jax.default_backend() == "tpu" or N <= 16384)
-    )
+    P = _LANES // F if F <= _LANES else 0  # table rows packed per VMEM row
+    ok = pallas_scatter_viable(R, F, N, use_pallas)
     if not ok:
         flat = (idx + jnp.arange(L, dtype=idx.dtype)[:, None] * R).reshape(-1)
         out = (

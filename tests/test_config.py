@@ -59,6 +59,11 @@ def test_ab_variants_pin_tracking_method():
         assert "method" in overrides.get("tracking", {}), name
         assert "kernel" in overrides.get("pos", {}), name
         assert "smooth_every" in overrides.get("training", {}), name
+        # an lm variant that omits lm_iters would silently inherit the
+        # adopted slam.yaml default (8, was 10) — the exact default-drift
+        # failure BASE_SCHEDULE exists to prevent
+        if overrides["tracking"]["method"] == "lm":
+            assert "lm_iters" in overrides["tracking"], name
 
 
 def test_production_point_coherent_across_configs():

@@ -442,7 +442,10 @@ def test_extract_with_cached_kf_feats_matches(fitted_slam):
     a = m.extract(slam.params, slam.enc_params, slam.keyframes)
     b = m.extract(slam.params, slam.enc_params, slam.keyframes,
                   kf_feats=feats)
-    np.testing.assert_array_equal(a["vertices"], b["vertices"])
+    # vertices: tight allclose, not bit-equal — the cached path encodes the
+    # whole store as ONE batch while the cold path encodes per slot, and
+    # XLA conv tiling is not guaranteed batch-size-invariant on TPU
+    np.testing.assert_allclose(a["vertices"], b["vertices"], atol=1e-5)
     np.testing.assert_array_equal(a["faces"], b["faces"])
     np.testing.assert_allclose(a["colors"], b["colors"], atol=1e-5)
     np.testing.assert_array_equal(a["labels"], b["labels"])

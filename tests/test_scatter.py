@@ -120,3 +120,29 @@ def test_dense_scatter_non_window_multiple_table_falls_back(rng):
     got = np.asarray(dense_matmul_scatter(idx, vals, R))[0]
     np.testing.assert_allclose(got, _ref(idx[0], vals[0], R), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_dense_scatter_kernel_path_on_cpu(rng):
+    """The PRODUCTION dispatch path (pallas_scatter_viable -> pallas
+    kernel, interpret mode on CPU) end to end — a pure-fallback suite
+    missed a NameError inside the kernel branch in round 5 that only the
+    real-TPU bench hit."""
+    from dnsjax.ops.scatter import dense_matmul_scatter, pallas_scatter_viable
+
+    L, N, R, F = 2, 1024, 4096, 8
+    assert pallas_scatter_viable(R, F, N)
+    idx = jnp.asarray(rng.integers(0, R, (L, N)), jnp.int32)
+    vals = jnp.asarray(rng.normal(size=(L, N, F)).astype(np.float32))
+    got = np.asarray(dense_matmul_scatter(idx, vals, R), np.float32)
+    for l in range(L):
+        # split=False quantizes contributions to bf16 — compare loosely
+        np.testing.assert_allclose(
+            got[l], _ref(idx[l], vals[l], R), rtol=2e-2, atol=2e-2
+        )
+    got_split = np.asarray(
+        dense_matmul_scatter(idx, vals, R, split=True), np.float32
+    )
+    for l in range(L):
+        np.testing.assert_allclose(
+            got_split[l], _ref(idx[l], vals[l], R), rtol=1e-4, atol=1e-4
+        )
