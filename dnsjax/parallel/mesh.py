@@ -27,11 +27,19 @@ from dnsjax.models.decoder import DecoderSpec
 from dnsjax.slam import mapper as _mapper
 
 
-def ray_mesh(n_devices: int | None = None) -> Mesh:
-    """A 1-D 'dp' mesh over the first n_devices (default: all)."""
+def ray_mesh(n_devices: int | None = None, first: int = 0) -> Mesh:
+    """A 1-D 'dp' mesh over n_devices devices starting at ``first``
+    (default: all devices from 0). ``first`` > 0 builds the mesh over the
+    NON-tracker chips for the composed operating point (tracker on chip 0,
+    keystep DP-sharded over the rest — tpu.map_dp, slam/driver.py)."""
     devs = jax.devices()
     if n_devices is not None:
-        devs = devs[:n_devices]
+        devs = devs[first:first + n_devices]
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"ray_mesh: need devices [{first}, {first + n_devices}) "
+                f"but only {len(jax.devices())} exist"
+            )
     import numpy as np
 
     return Mesh(np.array(devs), ("dp",))

@@ -129,6 +129,8 @@ class DNSSLAM:
             lm_iters=int(tr.get("lm_iters", 10)),
             lm_patience=int(tr.get("lm_patience", 0)),
             lm_lambda0=float(tr.get("lm_lambda0", 1e-3)),
+            lm_up=float(tr.get("lm_up", 5.0)),
+            lm_down=float(tr.get("lm_down", 0.5)),
             lambda_p=float(trn["lambda_color"]), lambda_d=float(trn["lambda_depth"]),
             lambda_l=float(trn["lambda_label"]),
         )
@@ -251,6 +253,37 @@ class DNSSLAM:
             else None
         )
         self.track_device = devs[0] if self.map_device is not None else None
+        # The composed multi-chip operating point (BASELINE.md round 5):
+        # tracker stays on chip 0, the keystep runs shard_map'd over the
+        # map_dp chips starting at map_device — each shard samples
+        # n_pixels/map_dp rays (fixed TOTAL ray budget, strong scaling of
+        # the keystep wall), grads pmean over ICI. TPU-native answer to
+        # the reference's two-process split (dns_slam.py:161-172).
+        self.map_dp = int(tpu_cfg.get("map_dp", 1))
+        self.map_mesh = None
+        if self.map_dp > 1:
+            if self.dp_devices > 1:
+                raise ValueError(
+                    "tpu.map_dp (keystep DP over non-tracker chips) and "
+                    "tpu.data_parallel (whole-pipeline DP) are mutually "
+                    "exclusive — pick one scale-out axis"
+                )
+            from dnsjax.parallel.mesh import ray_mesh
+
+            self.map_mesh = ray_mesh(self.map_dp, first=self.map_device_idx)
+            self.track_device = devs[0]
+        # async mesh extraction (VERDICT r4 next #4): at 7.5 Mpts/s the
+        # 256^3 grid query alone is ~2.2 s — every mesh_every otherwise
+        # stalls the SLAM loop by more than two keysteps. With a spare
+        # device (tpu.map_device / map_dp), run save_mesh in a background
+        # thread against snapshot state: extraction is READ-only on the
+        # map (same snapshot semantics as async keysteps), the query runs
+        # on the map device(s), and the native marching call releases the
+        # GIL (ctypes). Reference analog: meshing blocks the mapper
+        # process but not the tracker (mapping.py:1092-1107).
+        self.mesh_async = bool(tpu_cfg.get("mesh_async", False))
+        self._mesh_thread = None
+        self._mesh_errors: List[str] = []
         self._pending_map = None
         self._track_params = self.params  # tracker's snapshot of the map
 
@@ -273,7 +306,10 @@ class DNSSLAM:
             from dnsjax.mesh import Mesher
 
             device_mesh = None
-            if self.dp_devices > 1:
+            if self.map_mesh is not None:
+                # composed mode: shard mesh queries over the map chips too
+                device_mesh = self.map_mesh
+            elif self.dp_devices > 1:
                 from dnsjax.parallel.mesh import ray_mesh
 
                 device_mesh = ray_mesh(self.dp_devices)
@@ -323,7 +359,23 @@ class DNSSLAM:
     def _map_fn(self, n_target: int, n_iters: int):
         k = (n_target, n_iters)
         if k not in self._map_fns:
-            if self.dp_devices > 1:
+            if self.map_mesh is not None:
+                import dataclasses
+
+                from dnsjax.parallel.mesh import make_map_fn_dp
+
+                # strong scaling: fixed total ray budget, n_pixels/map_dp
+                # per shard (vs tpu.data_parallel's weak scaling where
+                # every device samples the full n_pixels)
+                cfg_dp = dataclasses.replace(
+                    self.map_cfg,
+                    n_pixels=max(1, self.map_cfg.n_pixels // self.map_dp),
+                )
+                self._map_fns[k] = make_map_fn_dp(
+                    self.spec, cfg_dp, n_target, n_iters,
+                    self.map_mesh, self.compute_dtype,
+                )
+            elif self.dp_devices > 1:
                 from dnsjax.parallel.mesh import make_map_fn_dp, ray_mesh
 
                 self._map_fns[k] = make_map_fn_dp(
@@ -401,10 +453,94 @@ class DNSSLAM:
         kf = self.keyframes
         if kf.count == 0:
             return None
+        # Cold cache (fresh driver / --resume): batch the missing encodes
+        # in fixed-size groups instead of one batch-1 dispatch per slot
+        # (fixed group shape => one extra compile total, not one per count)
+        missing = [s for s in range(kf.count) if s not in self._kf_feats]
+        if len(missing) > 2:
+            B = 8
+            for i in range(0, len(missing), B):
+                grp = missing[i:i + B]
+                cols = jnp.stack([kf.colors[s] for s in grp])
+                if len(grp) < B:
+                    pad = jnp.zeros((B - len(grp),) + cols.shape[1:],
+                                    cols.dtype)
+                    cols = jnp.concatenate([cols, pad])
+                feats = self._encode(self.enc_params, cols)
+                for j, s in enumerate(grp):
+                    self._kf_feats[s] = feats[j]
         rows = [self._kf_feat(s) for s in range(kf.count)]
         if kf.count < kf.capacity:
             rows += [jnp.zeros_like(rows[0])] * (kf.capacity - kf.count)
         return jnp.stack(rows)
+
+    # ------------------------------------------------------------------
+    # async mesh extraction (tpu.mesh_async)
+    def _join_mesh(self) -> None:
+        """Wait for an in-flight background extraction (at most one)."""
+        t = self._mesh_thread
+        if t is not None:
+            t.join()
+            self._mesh_thread = None
+            if self._mesh_errors:
+                print(f"WARNING: async mesh extraction failed: "
+                      f"{self._mesh_errors[-1]}")
+
+    def _mesh_snapshot(self, idx: int):
+        """Driver-shaped snapshot for a background save_mesh: jnp arrays
+        are immutable, so capturing the refs IS a consistent snapshot
+        (the keystep/tracker replace, never mutate, them). Inputs are
+        staged onto the map device so the query does not contend with
+        tracking on chip 0 (under map_dp the mesher's sharded query
+        handles placement itself)."""
+        from types import SimpleNamespace
+
+        kf = self.keyframes
+        feats = self.collect_kf_feats()  # main thread: mutates the cache
+        params = self.params
+        colors, depths, labels = kf.colors, kf.depths, kf.labels
+        est_kf = kf.est_c2w
+        if self.map_device is not None and self.map_mesh is None:
+            params, colors, depths, labels, est_kf, feats = jax.device_put(
+                (params, colors, depths, labels, est_kf, feats),
+                self.map_device,
+            )
+        kf_snap = SimpleNamespace(
+            capacity=kf.capacity, count=kf.count, H=kf.H, W=kf.W,
+            colors=colors, depths=depths, labels=labels,
+            est_c2w=est_kf, gt_c2w=kf.gt_c2w,
+            frame_ids=list(kf.frame_ids),
+        )
+        return SimpleNamespace(
+            params=params, enc_params=self.enc_params, keyframes=kf_snap,
+            class_colors=getattr(self, "class_colors", None),
+            estimate_c2w=self.estimate_c2w[: idx + 1].copy(),
+            out_dir=self.out_dir,
+            collect_kf_feats=lambda: feats,
+        )
+
+    def _save_mesh(self, idx: int) -> None:
+        """Extract + export, on a spare device's background thread when
+        tpu.mesh_async is on (read-only on SLAM state: the trajectory is
+        identical either way — asserted in tests/test_multichip.py)."""
+        if self.mesh_async and (
+            self.map_device is not None or self.map_mesh is not None
+        ):
+            self._join_mesh()
+            snap = self._mesh_snapshot(idx)
+
+            def work():
+                try:
+                    self.mesher.save_mesh(snap, idx)
+                except Exception as e:  # noqa: BLE001
+                    self._mesh_errors.append(repr(e))
+
+            import threading
+
+            self._mesh_thread = threading.Thread(target=work, daemon=True)
+            self._mesh_thread.start()
+        else:
+            self.mesher.save_mesh(self, idx)
 
     # ------------------------------------------------------------------
     # window selection (host logic; reference: mapping.py:329-436)
@@ -580,7 +716,12 @@ class DNSSLAM:
         return new_list
 
     def _to_map_device(self, tree):
-        """Stage keystep inputs onto the mapping device (no-op single-dev)."""
+        """Stage keystep inputs onto the mapping device — replicated over
+        the map mesh under tpu.map_dp (no-op single-dev)."""
+        if self.map_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(tree, NamedSharding(self.map_mesh, P()))
         if self.map_device is None:
             return tree
         return jax.device_put(tree, self.map_device)
@@ -588,6 +729,8 @@ class DNSSLAM:
     def _from_map_device(self, tree):
         """Return keystep outputs to the tracking device (async transfer;
         no-op single-dev)."""
+        if self.map_mesh is not None:
+            return jax.device_put(tree, self.track_device)
         if self.map_device is None:
             return tree
         return jax.device_put(tree, self.track_device)
@@ -1021,7 +1164,7 @@ class DNSSLAM:
                     and self.mesher is not None
                 ):
                     self._finish_map()
-                    self.mesher.save_mesh(self, idx)
+                    self._save_mesh(idx)
 
                 if (
                     self.checkpoint_every > 0
@@ -1034,6 +1177,7 @@ class DNSSLAM:
             self._pre_color = cur["color"]
 
         self._finish_map()
+        self._join_mesh()
         self.save_checkpoint("model.npz", n - 1)
         if self.verbose:
             print(f"Decoder params: {decoder_param_count(self.params)}")
