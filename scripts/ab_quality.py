@@ -253,6 +253,41 @@ VARIANTS = {
         tracking=dict(method="lm", lm_iters=8, lm_patience=0),
         mapping=dict(n_iters=50, optimize_every_n_frames=10),
     ),
+    # Round-5 LM trust-region probes (VERDICT r4 next #8): lm_lambda0 /
+    # lm_up / lm_down sensitivity on the ADOPTED bundle, 1-seed probes.
+    # Promotion rule: 3-seed gate ONLY if a probe beats the bundle's own
+    # 3-seed mean on BOTH ATE (0.0147) and PSNR (31.47) — the last
+    # documented dial without a number (reference analog: the Adam
+    # schedule's implicit step-size adaptation, tracking.py:313-340).
+    "ns16-m50-map10-lm8-lam2": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4, n_samples_ray=16),
+        tracking=dict(method="lm", lm_iters=8, lm_patience=0,
+                      lm_lambda0=1e-2),
+        mapping=dict(n_iters=50, optimize_every_n_frames=10),
+    ),
+    "ns16-m50-map10-lm8-lam4": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4, n_samples_ray=16),
+        tracking=dict(method="lm", lm_iters=8, lm_patience=0,
+                      lm_lambda0=1e-4),
+        mapping=dict(n_iters=50, optimize_every_n_frames=10),
+    ),
+    # gentler damping adaptation: slower back-off on reject, milder trust
+    # expansion on accept (classic Marquardt 2/0.75 vs the shipped 5/0.5)
+    "ns16-m50-map10-lm8-ud": dict(
+        grid=dict(_TPU_GRID, interp="tet", scatter="pallas_sr"),
+        tpu=dict(feature_taps=1),
+        pos=dict(kernel="quartic"),
+        training=dict(smooth_every=4, n_samples_ray=16),
+        tracking=dict(method="lm", lm_iters=8, lm_patience=0,
+                      lm_up=2.0, lm_down=0.75),
+        mapping=dict(n_iters=50, optimize_every_n_frames=10),
+    ),
     # Both round-4c single-axis levers combined (8 LM iters + 25-iter
     # keysteps on the adopted bundle): the candidate 2-chip >=20 FPS
     # production point. Gated only if BOTH single-axis variants pass their

@@ -3,9 +3,10 @@
 # Designed for a possibly-short tunnel window: cheapest/highest-value first,
 # each step bounded by timeout, logs survive a mid-run tunnel death.
 #
-# Round-4 state: adoption decisions are all settled (AB_QUALITY.md 9-16 +
-# the r4c sweep rows); what remains is measurement upkeep at the adopted
-# operating point.
+# Round-5 state: all schedule/sample axes settled (AB_QUALITY.md 9-18).
+# Pending: the LM trust-region probes (the last undialed knob), the
+# ScanNet-profile row + extraction wall (now inside bench.py), and the
+# standing parity dry-run.
 #
 # Usage: bash scripts/tpu_session.sh   (from the repo root)
 set -u
@@ -24,8 +25,15 @@ run() { # run <name> <timeout_s> <cmd...>
 }
 
 # 1. the headline bench (reference shape + adopted production point +
-#    mesh query + amortized FPS; ~10 min)
-run bench        1800 python -u bench.py
+#    ScanNet profile + mesh query + extraction wall + amortized FPS;
+#    ~15 min)
+run bench        2700 python -u bench.py
+
+# 1b. LM trust-region probes on the adopted bundle (1 seed each;
+#     AB_QUALITY round-5 promotion rule — beat the bundle on BOTH
+#     ATE and PSNR before any 3-seed gate)
+run lm_probes    7200 python -u scripts/ab_quality.py --skip-done \
+    --variants ns16-m50-map10-lm8-lam2,ns16-m50-map10-lm8-lam4,ns16-m50-map10-lm8-ud
 
 # 2. mesh query component bisect (tracks the one-hot S=1 dispatch and the
 #    remaining hashgrid-encode cost; scan/tail/batched variants)
