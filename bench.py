@@ -491,11 +491,25 @@ def main():
         bound_s_np = np.asarray([[0.0, 7.68], [0.0, 7.68], [0.0, 3.84]])
         spec_s = DecoderSpec.from_config(scfg, bound_s_np, NC_S)
         g = spec_s.grid
-        scannet_pallas_scatter = bool(
-            g.scatter in ("pallas", "pallas_split", "pallas_sr")
-            and g.grad_levels == 0
-            and pallas_scatter_viable(g.table_size, g.n_features, 1 << 30)
-        )
+        if g.scatter in ("pallas", "pallas_split", "pallas_sr") and (
+            g.grad_levels == 0
+        ):
+            if pallas_scatter_viable(g.table_size, g.n_features, 1 << 30):
+                scannet_pallas_scatter = f"all {g.n_levels} levels"
+            else:
+                from dnsjax.ops.hashgrid import _rows_used
+                from dnsjax.ops.scatter import _level_partition
+
+                small, _big, _Rg = _level_partition(
+                    g.table_size, g.n_features, 1 << 30,
+                    _rows_used(g), True,
+                )
+                scannet_pallas_scatter = (
+                    f"level-partitioned: {len(small)}/{g.n_levels} levels "
+                    f"pallas {list(small)}, rest XLA scatter"
+                )
+        else:
+            scannet_pallas_scatter = "xla"
         params_s = init_decoder_params(jax.random.PRNGKey(0), spec_s)
         strn = scfg["training"]
         smp = scfg["mapping"]

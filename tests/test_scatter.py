@@ -146,3 +146,63 @@ def test_dense_scatter_kernel_path_on_cpu(rng):
         np.testing.assert_allclose(
             got_split[l], _ref(idx[l], vals[l], R), rtol=1e-4, atol=1e-4
         )
+
+
+def test_level_partitioned_scatter(rng):
+    """When the full (R, F) table fails the VMEM gate, levels whose own
+    padded table fits must still take the MXU kernel while the rest share
+    one XLA scatter — and the assembled (L, R, F) gradient must equal the
+    all-XLA reference on every level (the ScanNet log2=20 dispatch,
+    VERDICT r4 missing #4)."""
+    from dnsjax.ops.scatter import (
+        _level_partition, dense_matmul_scatter, pallas_scatter_viable)
+
+    L, N, R, F = 3, 2048, 1 << 19, 8
+    rows_used = (4913, 50653, R)
+    assert not pallas_scatter_viable(R, F, N)  # full table: VMEM gate fails
+    small, big, R_group = _level_partition(R, F, N, rows_used, True)
+    assert small == (0, 1) and big == (2,) and R_group == 57344
+    idx = jnp.stack([
+        jnp.asarray(rng.integers(0, ru, N), jnp.int32) for ru in rows_used
+    ])
+    vals = jnp.asarray(rng.normal(size=(L, N, F)).astype(np.float32))
+    got = np.asarray(
+        dense_matmul_scatter(idx, vals, R, split=True, rows_used=rows_used),
+        np.float32,
+    )
+    for l in range(L):
+        np.testing.assert_allclose(
+            got[l], _ref(idx[l], vals[l], R), rtol=1e-4, atol=1e-4,
+            err_msg=f"level {l}",
+        )
+
+
+def test_hash_encode_bwd_level_partitioned(rng):
+    """End-to-end through the hash-encode backward: a table past the VMEM
+    gate (log2=19) with dense small levels must produce the same d_table
+    through the level-partitioned pallas_split path as through plain XLA
+    scatter."""
+    from dnsjax.ops.hashgrid import HashGridSpec, hash_encode, init_hash_table
+
+    def spec(scatter):
+        return HashGridSpec(
+            n_levels=3, n_features=8, log2_hashmap_size=19,
+            base_resolution=16, desired_resolution=192,
+            interp="tet", scatter=scatter,
+        )
+
+    pts = jnp.asarray(rng.uniform(size=(512, 3)).astype(np.float32))
+    table = init_hash_table(jax.random.PRNGKey(0), spec("xla"))
+    cot = jnp.asarray(
+        rng.normal(size=(512, spec("xla").out_dim)).astype(np.float32))
+
+    def d_table(s):
+        f = lambda t: jnp.vdot(hash_encode(t, pts, s), cot)
+        return np.asarray(jax.grad(f)(table), np.float32)
+
+    # hi/lo split is ~f32-exact, not bit-exact: the second matmul's bf16
+    # residual-of-residual leaves O(1e-5) absolute error on collided rows
+    np.testing.assert_allclose(
+        d_table(spec("pallas_split")), d_table(spec("xla")),
+        rtol=1e-4, atol=2e-5,
+    )
