@@ -680,6 +680,11 @@ def main():
             walls.append(time.perf_counter() - t0)
         mesh_extract_wall_s = min(walls)
         mesh_extract_verts = int(mesh_out["vertices"].shape[0])
+        mesh_extract_breakdown = {
+            k: round(v, 3) for k, v in mesher_e.last_timings.items()
+        }
+        print(f"bench: mesh extract breakdown (last run) = "
+              f"{mesh_extract_breakdown}", file=_sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"bench: mesh-extraction wall bench failed ({e!r}); continuing",
               file=_sys.stderr)
@@ -796,7 +801,8 @@ def main():
                 ),
                 **(
                     {"mesh_extract_wall_seconds": round(mesh_extract_wall_s, 2),
-                     "mesh_extract_verts": mesh_extract_verts}
+                     "mesh_extract_verts": mesh_extract_verts,
+                     "mesh_extract_breakdown": mesh_extract_breakdown}
                     if mesh_extract_wall_s
                     else {}
                 ),

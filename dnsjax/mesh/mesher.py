@@ -438,7 +438,22 @@ class Mesher:
         here skips re-encoding every keyframe image on every ``mesh_every``
         extraction — keyframe images are immutable after insertion, so the
         cached maps are exact."""
+        import time as _time
+
         from dnsjax.models.encoder import encode_images
+
+        # per-phase wall clocks (host-observed, includes dispatch latency);
+        # read by bench.py's extraction-wall row and by profiling scripts
+        self.last_timings: Dict[str, float] = {}
+        _t0 = _time.perf_counter()
+
+        def _mark(name):
+            nonlocal _t0
+            t = _time.perf_counter()
+            self.last_timings[name] = (
+                self.last_timings.get(name, 0.0) + t - _t0
+            )
+            _t0 = t
 
         kf = keyframes
         K = kf.capacity
@@ -454,6 +469,7 @@ class Mesher:
             kf_depths = self.estimated_depths(params, kf)
         if self.fuse_rows:
             feats = self.fuse_view_maps(feats, kf_depths, kf.labels)
+        _mark("encode_views")
 
         pts, lo, spacing = self._grid()
         n = pts.shape[0]
@@ -472,14 +488,20 @@ class Mesher:
             M = p.shape[0]
             order = None
             if self.view_skip and M > B:
+                t0 = _time.perf_counter()
                 order = self._morton_order(p, lo, spacing)
                 p = p[order]
+                self.last_timings["morton"] = (
+                    self.last_timings.get("morton", 0.0)
+                    + _time.perf_counter() - t0
+                )
             o_ = np.empty(M, np.float32)
             l_ = np.empty(M, np.int32)
             c_ = np.empty((M, 3), np.float32)
             s_ = np.empty(M, np.float32)
             for a in range(0, M, B):
                 e = min(a + B, M)
+                t0 = _time.perf_counter()
                 # pad with the chunk's last point (not zeros): padding must
                 # not inflate the chunk AABB the view skip tests
                 chunk = np.broadcast_to(p[e - 1], (B, 3)).copy()
@@ -492,12 +514,23 @@ class Mesher:
                 l_[a:e] = np.asarray(l)[: e - a]
                 c_[a:e] = np.asarray(c)[: e - a]
                 s_[a:e] = np.asarray(cnt)[: e - a]
+                self.last_timings["query_dispatch"] = (
+                    self.last_timings.get("query_dispatch", 0.0)
+                    + _time.perf_counter() - t0
+                )
+                self.last_timings["query_points"] = (
+                    self.last_timings.get("query_points", 0.0) + (e - a)
+                )
+                self.last_timings["query_chunks"] = (
+                    self.last_timings.get("query_chunks", 0.0) + 1
+                )
             if order is not None:
                 inv = np.empty(M, np.int64)
                 inv[order] = np.arange(M)
                 return o_[inv], l_[inv], c_[inv], s_[inv]
             return o_, l_, c_, s_
 
+        _mark("grid_setup")
         r = self.resolution
         if self.hierarchical and r >= 32:
             occ, label, col, seen = self._hierarchical_query(
@@ -507,11 +540,13 @@ class Mesher:
             occ, label, col, seen = query_points(pts)
         if not interp:
             col = None
+        _mark("grid_query")
 
         r = self.resolution
         verts, faces = marching_tetrahedra(
             occ.reshape(r, r, r), self.level_set, origin=lo, spacing=spacing
         )
+        _mark("marching")
         if verts.shape[0] == 0:
             return {"vertices": verts, "faces": faces}
 
@@ -525,6 +560,7 @@ class Mesher:
                 verts, faces, seen.reshape(r, r, r), lo, spacing,
                 all_poses=all_poses,
             )
+        _mark("clean")
 
         # per-vertex color/label
         if interp:
@@ -553,6 +589,7 @@ class Mesher:
             # the same chunked path as the grid pass (Morton order + skips)
             _, vlab, vcol, _ = query_points(verts.astype(np.float32))
 
+        _mark("vertex_attrs")
         out = {"vertices": verts, "faces": faces, "colors": vcol, "labels": vlab}
         if class2color is not None:
             out["label_colors"] = class2color[np.clip(vlab, 0, len(class2color) - 1)]
