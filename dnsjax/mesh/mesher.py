@@ -410,13 +410,21 @@ class Mesher:
         return Delaunay(cloud[np.random.default_rng(0).choice(
             cloud.shape[0], size=min(20000, cloud.shape[0]), replace=False)])
 
-    def _grid(self):
+    def _grid_axes(self):
+        """Per-axis lattice coordinates (f64) + origin/spacing — the full
+        (r^3, 3) point tensor is only materialized where actually needed
+        (flat query path); the hierarchical path builds its coarse/fine
+        point subsets straight from these axes."""
         pad = 0.05
         lo = self.mc_bound[:, 0] - pad
         hi = self.mc_bound[:, 1] + pad
         r = self.resolution
         axes = [np.linspace(lo[k], hi[k], r) for k in range(3)]
         spacing = [(hi[k] - lo[k]) / (r - 1) for k in range(3)]
+        return axes, lo, spacing
+
+    def _grid(self):
+        axes, lo, spacing = self._grid_axes()
         X, Y, Z = np.meshgrid(*axes, indexing="ij")
         pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1).astype(np.float32)
         return pts, lo, spacing
@@ -471,8 +479,7 @@ class Mesher:
             feats = self.fuse_view_maps(feats, kf_depths, kf.labels)
         _mark("encode_views")
 
-        pts, lo, spacing = self._grid()
-        n = pts.shape[0]
+        grid_axes, lo, spacing = self._grid_axes()
         B = self.points_batch
         interp = self.vertex_attr == "interpolate"
         bound_j = jnp.asarray(self.bound, jnp.float32)
@@ -499,6 +506,24 @@ class Mesher:
             l_ = np.empty(M, np.int32)
             c_ = np.empty((M, 3), np.float32)
             s_ = np.empty(M, np.float32)
+
+            # Double-buffered dispatch: chunk i+1 is enqueued (async jax
+            # dispatch) BEFORE chunk i's result is fetched, so device
+            # compute overlaps the host-side transfer — through the axon
+            # tunnel every fetch pays a full RTT, which previously
+            # serialized with the query itself. The 4 per-chunk outputs are
+            # packed into ONE (B, 6) f32 device array so each chunk costs a
+            # single transfer instead of four (labels are small ints, exact
+            # in f32).
+            def _fetch(pend):
+                a, e, packed = pend
+                arr = np.asarray(packed)
+                o_[a:e] = arr[: e - a, 0]
+                l_[a:e] = arr[: e - a, 1].astype(np.int32)
+                c_[a:e] = arr[: e - a, 2:5]
+                s_[a:e] = arr[: e - a, 5]
+
+            pending = None
             for a in range(0, M, B):
                 e = min(a + B, M)
                 t0 = _time.perf_counter()
@@ -510,10 +535,13 @@ class Mesher:
                     params, jnp.asarray(chunk), kf.est_c2w, kf_valid, feats,
                     kf.labels, kf_depths, bound_j,
                 )
-                o_[a:e] = np.asarray(o)[: e - a]
-                l_[a:e] = np.asarray(l)[: e - a]
-                c_[a:e] = np.asarray(c)[: e - a]
-                s_[a:e] = np.asarray(cnt)[: e - a]
+                packed = jnp.concatenate(
+                    [o[:, None], l.astype(jnp.float32)[:, None], c,
+                     cnt[:, None]], axis=-1,
+                )
+                if pending is not None:
+                    _fetch(pending)
+                pending = (a, e, packed)
                 self.last_timings["query_dispatch"] = (
                     self.last_timings.get("query_dispatch", 0.0)
                     + _time.perf_counter() - t0
@@ -523,6 +551,13 @@ class Mesher:
                 )
                 self.last_timings["query_chunks"] = (
                     self.last_timings.get("query_chunks", 0.0) + 1
+                )
+            if pending is not None:
+                t0 = _time.perf_counter()
+                _fetch(pending)
+                self.last_timings["query_dispatch"] = (
+                    self.last_timings.get("query_dispatch", 0.0)
+                    + _time.perf_counter() - t0
                 )
             if order is not None:
                 inv = np.empty(M, np.int64)
@@ -534,9 +569,13 @@ class Mesher:
         r = self.resolution
         if self.hierarchical and r >= 32:
             occ, label, col, seen = self._hierarchical_query(
-                pts, query_points
+                grid_axes, query_points
             )
         else:
+            X, Y, Z = np.meshgrid(*grid_axes, indexing="ij")
+            pts = np.stack(
+                [X.ravel(), Y.ravel(), Z.ravel()], -1
+            ).astype(np.float32)
             occ, label, col, seen = query_points(pts)
         if not interp:
             col = None
@@ -596,23 +635,35 @@ class Mesher:
         return out
 
     # ------------------------------------------------------------------
+    _MORTON_SPREAD = None  # lazily-built 1024-entry bit-spread LUT
+
     @staticmethod
     def _morton_order(p, lo, spacing):
         """Stable argsort of points along a Morton (Z-order) curve of their
         grid lattice coords, so sequential chunks are spatially compact
-        (tight AABBs -> more keyframe-view skips in the chunk query)."""
+        (tight AABBs -> more keyframe-view skips in the chunk query).
+
+        Bit interleave via a 1024-entry spread LUT (bit b -> bit 3b): three
+        gathers + two shift-ors over the whole point set, vs 30 passes for
+        the naive per-bit loop — same codes, same order."""
+        if Mesher._MORTON_SPREAD is None:
+            v = np.arange(1 << 10, dtype=np.uint64)
+            t = np.zeros(1 << 10, np.uint64)
+            for b in range(10):
+                t |= ((v >> np.uint64(b)) & np.uint64(1)) << np.uint64(3 * b)
+            Mesher._MORTON_SPREAD = t
+        t = Mesher._MORTON_SPREAD
         g = np.round((np.asarray(p) - lo) / np.asarray(spacing))
-        g = np.clip(g, 0, (1 << 10) - 1).astype(np.uint64)
-        code = np.zeros(g.shape[0], np.uint64)
-        for b in range(10):
-            for a in range(3):
-                code |= ((g[:, a] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
-                    3 * b + a
-                )
+        g = np.clip(g, 0, (1 << 10) - 1).astype(np.int64)
+        code = (
+            t[g[:, 0]]
+            | (t[g[:, 1]] << np.uint64(1))
+            | (t[g[:, 2]] << np.uint64(2))
+        )
         return np.argsort(code, kind="stable")
 
     # ------------------------------------------------------------------
-    def _hierarchical_query(self, pts, query_points):
+    def _hierarchical_query(self, grid_axes, query_points):
         """Coarse-to-fine field evaluation over the (r,r,r) lattice.
 
         Evaluates every 2nd lattice point (plus the last plane per axis),
@@ -622,15 +673,23 @@ class Mesher:
         flagged cells, and fills the rest by trilinear interpolation of
         the coarse field (sign-safe where the flag criterion holds, so
         marching cannot produce vertices from filled values).
+        ``grid_axes`` are the three per-axis lattice coordinate vectors;
+        coarse/fine point sets are assembled from them directly (the full
+        r^3 x 3 tensor is never materialized).
         Returns occ, label, col, seen as flat (r^3,) / (r^3,3) arrays.
         """
         r = self.resolution
         lv = self.level_set
-        grid = pts.reshape(r, r, r, 3)
 
         ax = np.unique(np.concatenate([np.arange(0, r, 2), [r - 1]]))
         m = ax.size
-        coarse_pts = grid[np.ix_(ax, ax, ax)].reshape(-1, 3)
+        cX, cY, cZ = np.meshgrid(
+            grid_axes[0][ax], grid_axes[1][ax], grid_axes[2][ax],
+            indexing="ij",
+        )
+        coarse_pts = np.stack(
+            [cX.ravel(), cY.ravel(), cZ.ravel()], -1
+        ).astype(np.float32)
         co, cl, cc, cs = query_points(coarse_pts)
         co3 = co.reshape(m, m, m)
 
@@ -662,29 +721,36 @@ class Mesher:
         cs3 = cs.reshape(m, m, m)
 
         def trilerp(src):
-            out = np.zeros((r, r, r), np.float32)
-            for di in (0, 1):
-                wi = (w1 if di else 1 - w1)[:, None, None]
-                for dj in (0, 1):
-                    wj = (w1 if dj else 1 - w1)[None, :, None]
-                    for dk in (0, 1):
-                        wk = (w1 if dk else 1 - w1)[None, None, :]
-                        sub = src[i0 + di][:, i0 + dj][:, :, i0 + dk]
-                        out += wi * wj * wk * sub
-            return out
+            # trilinear interpolation is separable: three successive 1-D
+            # lerps (m,m,m)->(r,m,m)->(r,r,m)->(r,r,r) touch ~1.4 r^3
+            # elements total vs the 8 full-r^3 gathers of the direct form
+            # (same math, ~6x less memory traffic on the 256^3 grid)
+            out = src
+            for axis in range(3):
+                a = np.take(out, i0, axis=axis)
+                b = np.take(out, i0 + 1, axis=axis)
+                shape = [1, 1, 1]
+                shape[axis] = -1
+                w = w1.reshape(shape)
+                out = a * (1.0 - w) + b * w
+            return out.astype(np.float32)
 
-        occ = trilerp(co3).astype(np.float32)
-        seen = trilerp(cs3).astype(np.float32)
+        occ = trilerp(co3)
+        seen = trilerp(cs3)
         nn = np.minimum(np.round(fc).astype(np.int64), m - 1)
         cl3 = cl.reshape(m, m, m)
         cc3 = cc.reshape(m, m, m, 3)
-        label = cl3[nn][:, nn][:, :, nn].copy()
-        col = cc3[nn][:, nn][:, :, nn].copy()
+        label = cl3[np.ix_(nn, nn, nn)]
+        col = cc3[np.ix_(nn, nn, nn)]
 
         # evaluate the flagged fine points exactly
         where = np.nonzero(need)
         if where[0].size:
-            fo, fl, fcoln, fs = query_points(grid[where].reshape(-1, 3))
+            fine_pts = np.stack(
+                [grid_axes[0][where[0]], grid_axes[1][where[1]],
+                 grid_axes[2][where[2]]], -1,
+            ).astype(np.float32)
+            fo, fl, fcoln, fs = query_points(fine_pts)
             occ[where] = fo
             label[where] = fl
             col[where] = fcoln
